@@ -1,0 +1,21 @@
+"""Test environment: force CPU JAX with 8 virtual devices.
+
+Tests never require TPU hardware — Pallas kernels run in interpret mode on
+CPU (selected automatically by messyerraytracer_tpu.kernels), and sharding
+tests use an 8-device virtual CPU mesh (SURVEY.md §4 test plan).
+
+Must run before the first ``import jax`` anywhere in the test process.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", False)

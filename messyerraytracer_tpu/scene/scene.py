@@ -1,0 +1,110 @@
+"""Flat scene container — build triangles + BVH, cast rays.
+
+TPU rewrite of ``RayScene`` (src/accel/ray_scene.h:34-210): owns the SoA
+triangle arrays (in BVH slot order) and the BVH node arrays, exposes
+closest-hit / any-hit casts, and keeps the reference's ``use_bvh=false``
+brute-force validation mode (ray_scene.h:59,120-131) as the parity oracle.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..accel.bvh import BVH, build_bvh, refit_bvh
+from ..accel.traverse import cast_rays_bvh
+from ..core.brute import any_hit_brute, cast_rays_brute
+from ..core.types import (
+    ALL_LAYERS,
+    Hits,
+    Rays,
+    RayStats,
+    Triangles,
+    make_triangles,
+)
+from ..core.geometry import aabb_of_triangles
+
+
+@dataclasses.dataclass
+class RayScene:
+    """Flat (single-level) scene: reordered triangles + BVH.
+
+    ``tris`` is in BVH slot order; ``tris.prim_id`` carries the original
+    triangle ids so hits report stable ids across rebuilds.
+    """
+
+    tris: Triangles
+    bvh: BVH
+    use_bvh: bool = True  # validation switch (ray_scene.h:59)
+
+    @property
+    def num_tris(self) -> int:
+        return self.tris.count
+
+    def cast_rays(self, rays: Rays, query_mask=ALL_LAYERS) -> tuple[Hits, RayStats]:
+        """Batched closest-hit cast (ray_scene.h:96-131 semantics)."""
+        if not self.use_bvh:
+            return cast_rays_brute(rays, self.tris, query_mask)
+        hits, stats, _ = cast_rays_bvh(rays, self.tris, self.bvh, query_mask)
+        return hits, stats
+
+    def any_hit_rays(self, rays: Rays, query_mask=ALL_LAYERS) -> jnp.ndarray:
+        """Batched occlusion query (ray_scene.h:135-160 semantics)."""
+        if not self.use_bvh:
+            return any_hit_brute(rays, self.tris, query_mask)
+        _, _, occluded = cast_rays_bvh(
+            rays, self.tris, self.bvh, query_mask, any_hit=True
+        )
+        return occluded
+
+    def refit(self, v0, v1, v2) -> "RayScene":
+        """Refit the BVH to moved vertices (same topology/order).
+
+        ``v0/v1/v2`` are (T,3) arrays in *original* triangle order; they are
+        re-sorted into slot order with the build permutation, triangles are
+        re-derived, and node AABBs are refit bottom-up on device.
+        """
+        perm = self.bvh.tri_order
+        v0 = jnp.asarray(v0, jnp.float32)[perm]
+        v1 = jnp.asarray(v1, jnp.float32)[perm]
+        v2 = jnp.asarray(v2, jnp.float32)[perm]
+        tris = make_triangles(
+            v0, v1, v2, prim_id=self.tris.prim_id, layers=self.tris.layers
+        )
+        tmin, tmax = aabb_of_triangles(tris.v0, tris.v1, tris.v2)
+        bvh = refit_bvh(self.bvh, tmin, tmax)
+        return dataclasses.replace(self, tris=tris, bvh=bvh)
+
+
+def build_scene(v0, v1, v2, layers=None, prim_id=None, use_bvh=True) -> RayScene:
+    """Build a flat scene from (T,3) vertex arrays.
+
+    The BVH build runs on host; the returned SoA arrays are device-resident.
+    Mirrors ``RayScene::build`` (ray_scene.h:62-86).
+    """
+    v0 = np.asarray(v0, np.float32)
+    v1 = np.asarray(v1, np.float32)
+    v2 = np.asarray(v2, np.float32)
+    t = v0.shape[0]
+    bvh = build_bvh(v0, v1, v2)
+    perm = np.asarray(bvh.tri_order)
+    if prim_id is None:
+        prim_id = np.arange(t, dtype=np.int32)
+    else:
+        prim_id = np.asarray(prim_id, np.int32)
+    if layers is None:
+        layers = np.full((t,), ALL_LAYERS, np.int32)
+    else:
+        layers = np.asarray(layers, np.int32)
+    tris = make_triangles(
+        v0[perm], v1[perm], v2[perm], prim_id=prim_id[perm], layers=layers[perm]
+    )
+    return RayScene(tris=tris, bvh=bvh, use_bvh=use_bvh)
+
+
+def build_scene_from_tri_array(tri_array, **kw) -> RayScene:
+    """Convenience: build from a (T, 3, 3) vertex array (mesh loader output)."""
+    tri_array = np.asarray(tri_array, np.float32)
+    return build_scene(tri_array[:, 0], tri_array[:, 1], tri_array[:, 2], **kw)

@@ -1,0 +1,103 @@
+"""Benchmark harness — primary-ray throughput on the real TPU.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Headline config (BASELINE.json #2/#4): a ~100K-triangle scene, one full
+frame of coherent primary rays (block-swizzled, the dispatcher's coherent
+path), closest-hit cast through the Pallas packet kernel.  ``vs_baseline``
+compares against the reference's CPU backend throughput (~27 Mrays/s at
+1280x960 on its 13.5K-tri scene, ROADMAP.md:175-181 / BASELINE.md).
+
+A t/prim_id parity check against the brute-force oracle runs on a
+subsample first — a benchmark of wrong results is meaningless.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_CPU_MRAYS = 27.0  # reference SSE+ThreadPool path (BASELINE.md)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import messyerraytracer_tpu as mrt
+    from messyerraytracer_tpu.core.brute import cast_rays_brute
+    from messyerraytracer_tpu.core.types import Rays
+    from messyerraytracer_tpu.dispatch.morton import raster_block_permutation
+    from messyerraytracer_tpu.scene.scene import build_scene_from_tri_array
+    from messyerraytracer_tpu.utils import meshes
+
+    # ---- scene: ~100K tris (BASELINE config #2 scale) ------------------
+    n_target = 100_000
+    soup = meshes.random_soup(
+        n_target - 960, extent=8.0, tri_size=0.25, seed=42
+    )
+    sphere = meshes.uv_sphere(1.5, 16, 32)  # structured island in the soup
+    tris = np.concatenate([soup, sphere])
+    t0 = time.time()
+    scene = build_scene_from_tri_array(tris)
+    build_s = time.time() - t0
+
+    # ---- rays: one 1024x768 frame of coherent primary rays -------------
+    w, h = 1024, 768
+    cam = mrt.CameraParams.look_at((0, 0, 24), (0, 0, 0), fov_degrees=60.0)
+    rays = mrt.generate_rays(cam, w, h)
+    perm = jnp.asarray(raster_block_permutation(w, h, 32))
+    rays = Rays(
+        origin=rays.origin[perm], direction=rays.direction[perm],
+        t_min=rays.t_min[perm], t_max=rays.t_max[perm],
+    )
+    n = rays.count
+
+    # ---- parity gate on a subsample ------------------------------------
+    sub = Rays(
+        origin=rays.origin[:4096], direction=rays.direction[:4096],
+        t_min=rays.t_min[:4096], t_max=rays.t_max[:4096],
+    )
+    hs, _ = scene.cast_rays(sub)
+    hb, _ = cast_rays_brute(sub, scene.tris)
+    parity = bool(
+        np.array_equal(np.asarray(hs.prim_id), np.asarray(hb.prim_id))
+        and np.allclose(np.asarray(hs.t), np.asarray(hb.t), rtol=1e-6)
+    )
+
+    # ---- timed casts ----------------------------------------------------
+    hits, stats = scene.cast_rays(rays)  # compile + warm
+    jax.block_until_ready(hits.t)
+    iters = 3
+    t0 = time.time()
+    for _ in range(iters):
+        hits, stats = scene.cast_rays(rays)
+    jax.block_until_ready(hits.t)
+    dt = (time.time() - t0) / iters
+    mrays = n / dt / 1e6
+
+    print(
+        json.dumps(
+            {
+                "metric": "primary_ray_throughput_100k_tris",
+                "value": round(mrays, 3),
+                "unit": "Mrays/s",
+                "vs_baseline": round(mrays / BASELINE_CPU_MRAYS, 3),
+                "extra": {
+                    "rays": n,
+                    "tris": int(scene.num_tris),
+                    "frame_ms": round(dt * 1e3, 2),
+                    "build_s": round(build_s, 2),
+                    "parity_vs_brute": parity,
+                    "hit_rate": round(float(stats.hit_rate()), 3),
+                    "device": str(jax.devices()[0]),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

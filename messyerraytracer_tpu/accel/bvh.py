@@ -34,7 +34,7 @@ MAX_LEAF_SIZE = 4    # README.md:129
 STACK_DEPTH = 64     # README.md:131 — traversal stack cap
 
 
-@pytree_dataclass(meta_fields=("levels",))
+@pytree_dataclass
 class BVH:
     """SoA BVH node arrays (device-resident).
 
@@ -43,10 +43,10 @@ class BVH:
     left_first: (M,)   int32 — internal: right-child index; leaf: first tri slot
     count:      (M,)   int32 — 0 for internal nodes, leaf triangle count otherwise
     tri_order:  (N,)   int32 — tri slot -> original triangle index permutation
-    levels:     static tuple of (start, end) index ranges per depth level in the
-                DFS array, deepest level LAST; used by the level-synchronous
-                refit.  (Nodes at one depth are not contiguous in DFS order,
-                so levels store sorted index arrays as tuples.)
+    levels:     tuple of int32 index arrays, one per tree depth (root level
+                first); used by the level-synchronous refit.  Stored as
+                traced pytree leaves (NOT static metadata) so jit calls
+                never hash million-entry index lists.
     """
 
     aabb_min: jnp.ndarray
@@ -86,13 +86,25 @@ def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray) -> BVH:
     v0 = np.asarray(v0, np.float32)
     v1 = np.asarray(v1, np.float32)
     v2 = np.asarray(v2, np.float32)
-    n = v0.shape[0]
-    if n == 0:
-        raise ValueError("build_bvh: cannot build over 0 triangles")
-
     tri_min = np.minimum(np.minimum(v0, v1), v2)
     tri_max = np.maximum(np.maximum(v0, v1), v2)
     centroid = (v0 + v1 + v2) * (1.0 / 3.0)
+    return build_bvh_over_aabbs(tri_min, tri_max, centroid)
+
+
+def build_bvh_over_aabbs(tri_min, tri_max, centroid) -> BVH:
+    """Binned-SAH build over arbitrary primitive AABBs + centroids.
+
+    Used for triangles (``build_bvh``) and for the TLAS over instance
+    world-space AABBs (the analogue of TinyBVH's native TLAS build,
+    scene_tlas.h:140-176).
+    """
+    tri_min = np.asarray(tri_min, np.float32)
+    tri_max = np.asarray(tri_max, np.float32)
+    centroid = np.asarray(centroid, np.float32)
+    n = tri_min.shape[0]
+    if n == 0:
+        raise ValueError("build_bvh: cannot build over 0 primitives")
 
     order = np.arange(n, dtype=np.int32)  # tri slots -> original index
 
@@ -213,7 +225,8 @@ def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray) -> BVH:
     d = depth_arr[:num_nodes]
     max_depth = int(d.max())
     levels = tuple(
-        tuple(np.nonzero(d == lvl)[0].tolist()) for lvl in range(max_depth + 1)
+        jnp.asarray(np.nonzero(d == lvl)[0].astype(np.int32))
+        for lvl in range(max_depth + 1)
     )
 
     return BVH(
@@ -269,8 +282,7 @@ def refit_bvh(bvh: BVH, tri_min: jnp.ndarray, tri_max: jnp.ndarray) -> BVH:
     amax = jnp.where(is_leaf[:, None], leaf_max, amax)
 
     # Internal nodes, deepest level first: merge (node+1, left_first) children.
-    for lvl_nodes in reversed(bvh.levels):
-        li = jnp.asarray(lvl_nodes, jnp.int32)
+    for li in reversed(bvh.levels):
         internal = bvh.count[li] == 0
         lc = jnp.clip(li + 1, 0, m - 1)
         rc = jnp.clip(bvh.left_first[li], 0, m - 1)

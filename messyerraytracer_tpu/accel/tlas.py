@@ -1,0 +1,317 @@
+"""Two-level acceleration: MeshBLAS + instances + SceneTLAS.
+
+TPU rewrite of ``src/accel/mesh_blas.h`` / ``blas_instance.h`` /
+``scene_tlas.h``.  The reference keeps two parallel representations:
+
+  1. a *true* two-level TLAS (TinyBVH native) used by the CPU path, and
+  2. a *flattened* world-space copy of every instance's triangles used by
+     the GPU/SIMD path (``RayTracerServer::_rebuild_scene``,
+     raytracer_server.cpp:700-761).
+
+We keep both roles with TPU-appropriate implementations:
+
+  * the **flattened path** is the hot path: world-space triangles of all
+    instances concatenated into one flat ``RayScene`` traversed by the
+    Pallas kernel; per-instance transform updates are a fully device-side
+    re-transform + refit (never rebuilds topology, never leaves the TPU)
+  * the **instance-accurate path** (cast_rays_two_level) tests each ray
+    against instance world AABBs and traverses each intersected BLAS with
+    the object-space ray (direction NOT renormalized so t stays
+    world-parameterized, blas_instance.h:48-59), matching
+    ``SceneTLAS::cast_ray`` semantics (scene_tlas.h:203-251) including its
+    brute-over-instances fallback shape (scene_tlas.h:345-379)
+
+Hit results carry the *instance id* in addition to the usual fields.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.types import (
+    ALL_LAYERS,
+    NO_HIT,
+    T_MAX_DEFAULT,
+    Hits,
+    Rays,
+    RayStats,
+    Triangles,
+)
+from ..scene.scene import RayScene, build_scene, _refit_jit
+
+
+def _to_mat4(transform) -> np.ndarray:
+    """Accept (4,4), (3,4), or (3,3) and return a (3,4) [R|t] float32."""
+    m = np.asarray(transform, np.float32)
+    if m.shape == (4, 4):
+        return m[:3, :]
+    if m.shape == (3, 4):
+        return m
+    if m.shape == (3, 3):
+        return np.concatenate([m, np.zeros((3, 1), np.float32)], axis=1)
+    raise ValueError(f"bad transform shape {m.shape}")
+
+
+@dataclasses.dataclass
+class MeshBLAS:
+    """Per-mesh object-space BLAS (mesh_blas.h:45-216): a RayScene over the
+    mesh's object-space triangles."""
+
+    scene: RayScene
+    tri_array: np.ndarray  # (T, 3, 3) object-space vertices (host copy)
+
+    @property
+    def num_tris(self) -> int:
+        return self.scene.num_tris
+
+    def object_bounds(self):
+        """Object-space AABB from the BLAS root (mesh_blas.h:190-200)."""
+        return (
+            np.asarray(self.scene.bvh.aabb_min[0]),
+            np.asarray(self.scene.bvh.aabb_max[0]),
+        )
+
+
+@dataclasses.dataclass
+class BLASInstance:
+    """Instance = blas_id + transform + cached inverse + world AABB
+    (blas_instance.h:24-108)."""
+
+    blas_id: int
+    transform: np.ndarray      # (3,4) [R|t]
+    inv_transform: np.ndarray  # (3,4) world->object
+    layers: int = ALL_LAYERS
+
+    @staticmethod
+    def create(blas_id: int, transform, layers: int = ALL_LAYERS):
+        m = _to_mat4(transform)
+        r_inv = np.linalg.inv(m[:, :3])
+        t_inv = -r_inv @ m[:, 3]
+        inv = np.concatenate([r_inv, t_inv[:, None]], axis=1).astype(np.float32)
+        return BLASInstance(blas_id, m, inv, layers)
+
+    def world_aabb(self, obj_min, obj_max):
+        """World AABB by transforming all 8 box corners
+        (blas_instance.h:74-107)."""
+        corners = np.array(
+            [
+                [x, y, z]
+                for x in (obj_min[0], obj_max[0])
+                for y in (obj_min[1], obj_max[1])
+                for z in (obj_min[2], obj_max[2])
+            ],
+            np.float32,
+        )
+        wc = corners @ self.transform[:, :3].T + self.transform[:, 3]
+        return wc.min(axis=0), wc.max(axis=0)
+
+
+class SceneTLAS:
+    """Top-level structure over BLAS instances (scene_tlas.h:46-380).
+
+    Workflow mirrors the reference: ``add_mesh`` -> ``add_instance`` ->
+    ``build_tlas``; transform updates go through ``set_transform`` +
+    ``refit_tlas`` (10-100x cheaper than rebuild, scene_tlas.h:178-196).
+    """
+
+    def __init__(self, backend: str = "pallas"):
+        self.backend = backend
+        self.meshes: list[MeshBLAS] = []
+        self.instances: list[BLASInstance] = []
+        self.flat: RayScene | None = None
+        # static flatten metadata (built once per topology)
+        self._tri_inst: np.ndarray | None = None   # (F,) instance id per flat tri
+        self._obj_tris: np.ndarray | None = None   # (F, 3, 3) object-space
+        self._slot_inst = None                     # (F,) device, slot order
+        self._transforms_dev = None                # (I, 3, 4) device
+
+    # ---- build -------------------------------------------------------
+    def add_mesh(self, tri_array, layers=None) -> int:
+        """Register an object-space mesh; builds its BLAS
+        (scene_tlas.h:62-90).  Returns blas_id."""
+        tri_array = np.asarray(tri_array, np.float32)
+        scene = build_scene(
+            tri_array[:, 0], tri_array[:, 1], tri_array[:, 2],
+            layers=layers, backend=self.backend,
+        )
+        self.meshes.append(MeshBLAS(scene, tri_array))
+        return len(self.meshes) - 1
+
+    def add_instance(self, blas_id: int, transform, layers: int = ALL_LAYERS) -> int:
+        """Add an instance of a registered BLAS (scene_tlas.h:108-122)."""
+        assert 0 <= blas_id < len(self.meshes)
+        self.instances.append(BLASInstance.create(blas_id, transform, layers))
+        return len(self.instances) - 1
+
+    def build_tlas(self) -> None:
+        """Build the flattened world-space scene over all instances.
+
+        The reference flattens for its GPU path
+        (raytracer_server.cpp:700-761); here the flat scene IS the hot path
+        and the per-instance object-space triangles + transforms are kept on
+        device so ``refit_tlas`` is a pure device computation.
+        """
+        assert self.instances, "build_tlas: no instances"
+        obj, inst_id, layers = [], [], []
+        for i, inst in enumerate(self.instances):
+            tris = self.meshes[inst.blas_id].tri_array
+            obj.append(tris)
+            inst_id.append(np.full(tris.shape[0], i, np.int32))
+            mesh_layers = np.asarray(self.meshes[inst.blas_id].scene.tris.layers)
+            # instance layer mask ANDs with per-tri layers (we flatten in
+            # original order, so invert the BLAS build permutation first)
+            perm = np.asarray(self.meshes[inst.blas_id].scene.bvh.tri_order)
+            unperm = np.empty_like(perm)
+            unperm[perm] = np.arange(perm.shape[0], dtype=perm.dtype)
+            layers.append(mesh_layers[unperm] & inst.layers)
+
+        self._obj_tris = np.concatenate(obj)
+        self._tri_inst = np.concatenate(inst_id)
+        flat_layers = np.concatenate(layers)
+
+        world = self._world_tris_np()
+        self.flat = build_scene(
+            world[:, 0], world[:, 1], world[:, 2],
+            layers=flat_layers, backend=self.backend,
+        )
+        perm = np.asarray(self.flat.bvh.tri_order)
+        self._slot_inst = jnp.asarray(self._tri_inst[perm])
+        self._obj_slots = jnp.asarray(self._obj_tris[perm])  # (F,3,3) device
+        self._transforms_dev = jnp.asarray(
+            np.stack([i.transform for i in self.instances])
+        )
+
+    def _world_tris_np(self) -> np.ndarray:
+        tf = np.stack([i.transform for i in self.instances])  # (I,3,4)
+        r = tf[self._tri_inst, :, :3]          # (F,3,3)
+        t = tf[self._tri_inst, :, 3]           # (F,3)
+        return np.einsum("fij,fvj->fvi", r, self._obj_tris) + t[:, None, :]
+
+    # ---- dynamic updates ---------------------------------------------
+    def set_transform(self, instance_id: int, transform) -> None:
+        self.instances[instance_id] = BLASInstance.create(
+            self.instances[instance_id].blas_id, _to_mat4(transform),
+            self.instances[instance_id].layers,
+        )
+
+    def refit_tlas(self) -> None:
+        """Re-transform flattened triangles + refit — all on device
+        (scene_tlas.h:180-196 semantics; topology unchanged)."""
+        assert self.flat is not None, "refit_tlas: call build_tlas first"
+        self._transforms_dev = jnp.asarray(
+            np.stack([i.transform for i in self.instances])
+        )
+        tris, bvh, wide = _tlas_refit_jit(
+            self.flat.bvh, self.flat.wide, self.flat.tris,
+            self._obj_slots, self._slot_inst, self._transforms_dev,
+        )
+        self.flat = dataclasses.replace(
+            self.flat, tris=tris, bvh=bvh, wide=wide
+        )
+
+    # ---- casts -------------------------------------------------------
+    def cast_rays(self, rays: Rays, query_mask=ALL_LAYERS):
+        """Closest-hit cast via the flattened scene.  Returns
+        (hits, stats, instance_id) where instance_id is (N,) int32, -1 on
+        miss (the reference reports hits via tray.hit.inst -> instance,
+        scene_tlas.h:232-247)."""
+        assert self.flat is not None, "cast_rays: call build_tlas first"
+        hits, stats = self.flat.cast_rays(rays, query_mask)
+        inst = self._instance_of_hits(hits)
+        return hits, stats, inst
+
+    def any_hit_rays(self, rays: Rays, query_mask=ALL_LAYERS):
+        assert self.flat is not None
+        return self.flat.any_hit_rays(rays, query_mask)
+
+    def _instance_of_hits(self, hits: Hits) -> jnp.ndarray:
+        # prim_id is the flat original index; map through sort: slot arrays
+        # are in slot order, and hits.prim_id is original order — build the
+        # original-order instance table once.
+        inst_orig = jnp.asarray(self._tri_inst)
+        pid = jnp.maximum(hits.prim_id, 0)
+        return jnp.where(hits.hit, inst_orig[pid], -1)
+
+    # ---- instance-accurate two-level cast (jnp reference path) -------
+    def cast_rays_two_level(self, rays: Rays, query_mask=ALL_LAYERS):
+        """Loop over instances: world-AABB cull, transform ray to object
+        space (no direction renormalize, blas_instance.h:48-59), traverse
+        the BLAS, keep the closest world-t hit.  O(instances) like the
+        reference's brute fallback (scene_tlas.h:345-379); exact two-level
+        semantics for validation and for memory-constrained scenes."""
+        n = rays.count
+        best = None
+        best_inst = jnp.full((n,), -1, jnp.int32)
+        for i, inst in enumerate(self.instances):
+            blas = self.meshes[inst.blas_id].scene
+            inv = jnp.asarray(inst.inv_transform)
+            o = rays.origin @ inv[:, :3].T + inv[:, 3]
+            d = rays.direction @ inv[:, :3].T  # NOT renormalized
+            obj_rays = Rays(
+                origin=o, direction=d, t_min=rays.t_min, t_max=rays.t_max
+            )
+            mask = query_mask if inst.layers == ALL_LAYERS else (
+                jnp.asarray(query_mask) & inst.layers
+            )
+            h, _ = blas.cast_rays(obj_rays, mask)
+            # transform hit back to world: position via forward transform,
+            # normal via inverse-transpose basis (blas_instance.h:62-70)
+            m = jnp.asarray(inst.transform)
+            wpos = h.position @ m[:, :3].T + m[:, 3]
+            wnrm = h.normal @ inv[:, :3]  # (R^-1)^T applied -> n @ R^-1
+            nlen = jnp.linalg.norm(wnrm, axis=-1, keepdims=True)
+            wnrm = wnrm / jnp.where(nlen > 0, nlen, 1.0)
+            h = Hits(
+                t=h.t,
+                position=jnp.where(h.hit[:, None], wpos, 0.0),
+                normal=jnp.where(h.hit[:, None], wnrm, 0.0),
+                u=h.u, v=h.v, prim_id=h.prim_id, hit_layers=h.hit_layers,
+            )
+            if best is None:
+                best = h
+                best_inst = jnp.where(h.hit, i, -1)
+            else:
+                closer = h.hit & (h.t < best.t)
+                best = Hits(
+                    t=jnp.where(closer, h.t, best.t),
+                    position=jnp.where(closer[:, None], h.position, best.position),
+                    normal=jnp.where(closer[:, None], h.normal, best.normal),
+                    u=jnp.where(closer, h.u, best.u),
+                    v=jnp.where(closer, h.v, best.v),
+                    prim_id=jnp.where(closer, h.prim_id, best.prim_id),
+                    hit_layers=jnp.where(closer, h.hit_layers, best.hit_layers),
+                )
+                best_inst = jnp.where(closer, i, best_inst)
+        return best, best_inst
+
+
+@jax.jit
+def _tlas_refit_jit(bvh, wide, old_tris, obj_slots, slot_inst, transforms):
+    """Device-side: world tris from object tris + per-instance transforms,
+    then triangle rederivation + BVH refit + wide refresh."""
+    r = transforms[slot_inst, :, :3]       # (F,3,3)
+    t = transforms[slot_inst, :, 3]        # (F,3)
+    world = jnp.einsum("fij,fvj->fvi", r, obj_slots) + t[:, None, :]
+    v0, v1, v2 = world[:, 0], world[:, 1], world[:, 2]
+    e1 = v1 - v0
+    e2 = v2 - v0
+    nrm = jnp.cross(e1, e2)
+    nlen = jnp.linalg.norm(nrm, axis=-1, keepdims=True)
+    nrm = nrm / jnp.where(nlen > 0, nlen, 1.0)
+    tris = Triangles(
+        v0=v0, edge1=e1, edge2=e2, normal=nrm,
+        prim_id=old_tris.prim_id, layers=old_tris.layers,
+    )
+    from ..accel.bvh import refit_bvh
+    from ..core.geometry import aabb_of_triangles
+    from ..kernels.wide import refresh_wide_scene
+
+    tmin, tmax = aabb_of_triangles(tris.v0, tris.v1, tris.v2)
+    bvh2 = refit_bvh(bvh, tmin, tmax)
+    wide2 = refresh_wide_scene(wide, bvh2, tris) if wide is not None else None
+    return tris, bvh2, wide2

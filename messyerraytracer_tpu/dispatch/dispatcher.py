@@ -1,0 +1,73 @@
+"""RayDispatcher — the batched cast pipeline with coherence scheduling.
+
+TPU rewrite of ``src/dispatch/ray_dispatcher.h:38-464``.  The reference
+routes between CPU thread-pool and Vulkan backends; here there is one TPU
+backend and the dispatcher's job is *coherence scheduling* and stats:
+
+  * incoherent batches >= MIN_BATCH_FOR_SORTING are Morton-sorted by
+    direction, cast, and unshuffled (ray_dispatcher.h:130-150)
+  * the ``coherent`` hint skips the sort (ray_query.h:72-76)
+  * everything is one jitted dispatch per cast — the analogue of the
+    reference reusing persistent buffers to avoid per-frame allocation
+    (ray_dispatcher.h:406-411) is letting XLA own the buffers
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..core.types import ALL_LAYERS, Hits, Rays, RayStats
+from ..scene.scene import RayScene
+from .morton import sort_rays_by_direction, unshuffle_flags, unshuffle_hits
+
+MIN_BATCH_FOR_SORTING = 256  # ray_dispatcher.h:423-427
+
+
+@dataclasses.dataclass
+class RayDispatcher:
+    """Owns a scene and routes batched casts through the coherence pipeline.
+
+    ``backend`` mirrors the reference enum {CPU,GPU,AUTO}
+    (ray_dispatcher.h:40-44) as {"pallas","jnp","brute","auto"}; "auto"
+    picks the Pallas kernel when the scene has a wide layout built.
+    """
+
+    scene: RayScene
+    backend: str = "auto"
+
+    def _scene_for(self) -> RayScene:
+        if self.backend == "auto":
+            return self.scene
+        return dataclasses.replace(self.scene, backend=self.backend)
+
+    def cast_rays(
+        self,
+        rays: Rays,
+        query_mask=ALL_LAYERS,
+        coherent: bool = False,
+    ) -> tuple[Hits, RayStats]:
+        """Closest-hit batch cast (ray_dispatcher.h:124-181 semantics)."""
+        scene = self._scene_for()
+        if (not coherent) and rays.count >= MIN_BATCH_FOR_SORTING:
+            sorted_rays, perm = sort_rays_by_direction(rays)
+            hits, stats = scene.cast_rays(sorted_rays, query_mask)
+            return unshuffle_hits(hits, perm), stats
+        return scene.cast_rays(rays, query_mask)
+
+    def any_hit_rays(
+        self,
+        rays: Rays,
+        query_mask=ALL_LAYERS,
+        coherent: bool = False,
+    ) -> jnp.ndarray:
+        """Occlusion batch cast (ray_dispatcher.h:191-241 semantics)."""
+        scene = self._scene_for()
+        if (not coherent) and rays.count >= MIN_BATCH_FOR_SORTING:
+            sorted_rays, perm = sort_rays_by_direction(rays)
+            occ = scene.any_hit_rays(sorted_rays, query_mask)
+            return unshuffle_flags(occ, perm)
+        return scene.any_hit_rays(rays, query_mask)

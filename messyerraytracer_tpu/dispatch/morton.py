@@ -1,0 +1,117 @@
+"""Morton-code ray sorting for traversal coherence.
+
+TPU rewrite of ``src/dispatch/ray_sort.h``: the bit-spread, direction
+quantization, and 30-bit Morton encode are identical (ray_sort.h:41-76), but
+the sort itself is a device-side ``jnp.argsort`` over the whole batch instead
+of a host ``std::sort``, and permutation apply/unshuffle are dense gathers
+(ray_sort.h:87-152).
+
+Also provides the pixel-block swizzle used for *coherent* primary rays:
+reordering a raster-order W x H ray grid into square pixel blocks so each
+1024-ray kernel tile is a 32x32 screen block instead of a 256x4 strip —
+this is what the reference's ``coherent`` query hint (ray_query.h:72-76)
+buys on TPU: skipping the Morton sort but still getting compact tiles.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.types import Hits, Rays
+
+
+def morton_spread_10(v: jnp.ndarray) -> jnp.ndarray:
+    """Spread 10 bits to 30 by inserting 2 zero bits between each bit
+    (ray_sort.h:41-50)."""
+    v = v & 0x3FF
+    v = (v | (v << 16)) & 0x030000FF
+    v = (v | (v << 8)) & 0x0300F00F
+    v = (v | (v << 4)) & 0x030C30C3
+    v = (v | (v << 2)) & 0x09249249
+    return v
+
+
+def morton_encode_3d(x, y, z):
+    """30-bit 3D Morton code (ray_sort.h:53-58)."""
+    return (
+        (morton_spread_10(x) << 2) | (morton_spread_10(y) << 1) | morton_spread_10(z)
+    )
+
+
+def ray_direction_morton(direction: jnp.ndarray) -> jnp.ndarray:
+    """(N,) int32 Morton keys from direction vectors, [-1,1]^3 -> [0,1023]^3
+    (ray_sort.h:64-76)."""
+    n = jnp.clip((direction + 1.0) * 0.5, 0.0, 1.0)
+    q = (n * 1023.0).astype(jnp.int32)
+    return morton_encode_3d(q[:, 0], q[:, 1], q[:, 2])
+
+
+def ray_position_morton(origin: jnp.ndarray, lo, hi) -> jnp.ndarray:
+    """Origin-based Morton keys over a scene AABB — better for secondary
+    rays whose origins scatter (not in the reference; TPU addition)."""
+    n = jnp.clip((origin - lo) / jnp.maximum(hi - lo, 1e-12), 0.0, 1.0)
+    q = (n * 1023.0).astype(jnp.int32)
+    return morton_encode_3d(q[:, 0], q[:, 1], q[:, 2])
+
+
+def sort_rays_by_direction(rays: Rays) -> tuple[Rays, jnp.ndarray]:
+    """Stable-sort rays by direction Morton key.
+
+    Returns (sorted_rays, perm) with ``sorted[i] = rays[perm[i]]``
+    (ray_sort.h:87-113 semantics, device-side).
+    """
+    keys = ray_direction_morton(rays.direction)
+    perm = jnp.argsort(keys, stable=True).astype(jnp.int32)
+    return apply_permutation(rays, perm), perm
+
+
+def apply_permutation(rays: Rays, perm: jnp.ndarray) -> Rays:
+    return Rays(
+        origin=rays.origin[perm],
+        direction=rays.direction[perm],
+        t_min=rays.t_min[perm],
+        t_max=rays.t_max[perm],
+    )
+
+
+def unshuffle_hits(hits: Hits, perm: jnp.ndarray) -> Hits:
+    """Invert the sort permutation on a Hits batch
+    (unshuffle_intersections, ray_sort.h:133-141)."""
+    inv = jnp.zeros_like(perm).at[perm].set(
+        jnp.arange(perm.shape[0], dtype=perm.dtype)
+    )
+    return Hits(
+        t=hits.t[inv],
+        position=hits.position[inv],
+        normal=hits.normal[inv],
+        u=hits.u[inv],
+        v=hits.v[inv],
+        prim_id=hits.prim_id[inv],
+        hit_layers=hits.hit_layers[inv],
+    )
+
+
+def unshuffle_flags(flags: jnp.ndarray, perm: jnp.ndarray) -> jnp.ndarray:
+    """Invert the permutation on a bool array (unshuffle_bools,
+    ray_sort.h:144-152)."""
+    return jnp.zeros_like(flags).at[perm].set(flags)
+
+
+def raster_block_permutation(width: int, height: int, block: int = 32) -> np.ndarray:
+    """Static permutation: raster order -> block-major order.
+
+    ``perm[i]`` = raster index of the ray that should sit at position i, so
+    consecutive ``block*block`` rays form one square screen block (pad
+    blocks at the right/bottom edges are smaller).  Host/numpy — it depends
+    only on (width, height, block) and is cached by callers.
+    """
+    ys, xs = np.mgrid[0:height, 0:width]
+    by, bx = ys // block, xs // block
+    # sort key: (block row, block col, y-in-block, x-in-block)
+    key = (((by * ((width + block - 1) // block) + bx) * block + ys % block)
+           * block + xs % block)
+    return np.argsort(key.reshape(-1), kind="stable").astype(np.int32)

@@ -1,0 +1,414 @@
+"""Pallas packet-traversal kernel — the hot cast path.
+
+Design (TPU-first, not a port): the reference parallelizes one *thread per
+ray* with a per-thread stack (bvh_traverse.comp.glsl:157-161) — on a TPU
+that shape is hostile (per-lane gathers, divergent control flow).  Instead we
+traverse *tiles of rays* (8x128 = 1024 each, coherence-sorted) in lockstep
+against shared DFS stacks in SMEM:
+
+  * scalar control flow (stack pointers, node ids) lives in SMEM/registers,
+  * every AABB slab test / Moller-Trumbore runs as a dense (8,128) VPU op
+    over a whole tile with node/triangle data broadcast from scalars,
+  * one wide node per fetch = both children's AABBs (see kernels/wide.py),
+    fetched by dynamic-sublane row load + dynamic lane rotate + scalar reads,
+  * front-to-back ordering per tile: the child whose minimum entry-t over
+    hitting rays is smaller pops first (packet analogue of the per-ray
+    near-child-first push, bvh_traverse.comp.glsl:287-318),
+  * a child is pushed only if ANY ray in the tile hits its box with entry-t
+    not beyond that ray's current best-t (bvh_traverse.comp.glsl:251),
+  * leaves are 4 dense MT tests (padding tris have zero edges and
+    self-reject on the determinant epsilon).
+
+**Latency hiding — the key TPU trick.** A single traversal is a serial
+dependency chain: each pop's branch target comes from reductions + SMEM
+writes of the previous pop, so one tile's walk cannot pipeline.  The kernel
+therefore interleaves N_SLOTS *independent* tile traversals in one program:
+their chains overlap, filling the vector units while other slots wait on
+scalar/reduction latency.  Idle slots (empty stack) pop a NaN-box dummy node
+which tests false everywhere and pushes nothing (the NaN-sentinel trick of
+gpu_ray_caster.cpp:263-268).
+
+This is 1024-wide packet traversal (the reference's 4-wide RayPacket4,
+src/simd/ray_packet.h, scaled to the VPU) x N_SLOTS-way software pipelining
+(the TPU answer to the GPU's warp-level latency hiding).
+
+Stats note: packet traversal shares node visits across a tile, so
+``bvh_nodes_visited`` counts tile-level pops (an upper bound per ray);
+``tri_tests`` counts the real triangles in each visited leaf per ray.
+Exact per-ray stats come from the jnp reference path (accel/traverse.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.types import (
+    INV_DIR_EPS,
+    MT_DET_EPS,
+    NO_HIT,
+    T_MAX_DEFAULT,
+    Hits,
+    Rays,
+    RayStats,
+)
+from .wide import (
+    LEAF_CAP,
+    LEAF_STRIDE,
+    LEAVES_PER_ROW,
+    NODE_STRIDE,
+    NODES_PER_ROW,
+    WideScene,
+)
+
+SROWS = 8                      # sublane rows per tile slot = one vreg
+# Interleaved independent tile traversals. Measured on v5e: lax.cond branches
+# serialize, so interleaving adds overhead instead of hiding latency — keep 1
+# until the unified branch-free node format lands.
+N_SLOTS = 1
+KSTACK = 64                    # per-slot DFS stack depth (README.md:131)
+_BIG = 3.0e38  # python float: jnp scalars would be captured consts in the kernel
+
+
+def _traverse_kernel(
+    ox, oy, oz, dx, dy, dz, tmn, tmx,          # ray refs (n_slots*8, 128)
+    nodes_ref, leaf_ref,                        # scene refs (VMEM, full)
+    t_out, slot_out, u_out, v_out, tt_out, pops_out,
+    stack_ref, mscr,                            # scratch
+    *, any_hit: bool, n_slots: int, dummy_enc: int,
+):
+    shape = (SROWS, 128)
+
+    def safe_inv(x):
+        small = jnp.abs(x) < INV_DIR_EPS
+        sign = jnp.where(x < 0.0, -1.0, 1.0)
+        return jnp.where(small, sign / INV_DIR_EPS, 1.0 / jnp.where(small, 1.0, x))
+
+    # Per-slot ray tiles (static row windows) ---------------------------
+    O, D, INV, TMIN, TMAX = [], [], [], [], []
+    for s in range(n_slots):
+        r0 = s * SROWS
+        o = (ox[r0:r0 + SROWS, :], oy[r0:r0 + SROWS, :], oz[r0:r0 + SROWS, :])
+        d = (dx[r0:r0 + SROWS, :], dy[r0:r0 + SROWS, :], dz[r0:r0 + SROWS, :])
+        O.append(o)
+        D.append(d)
+        INV.append((safe_inv(d[0]), safe_inv(d[1]), safe_inv(d[2])))
+        TMIN.append(tmn[r0:r0 + SROWS, :])
+        TMAX.append(tmx[r0:r0 + SROWS, :])
+        stack_ref[s, 0] = jnp.int32(0)  # root = wide node 0 (internal)
+
+    def slot_step(s, sp, cap, best_t, slot, uu, vv, tt):
+        """One pop for interleave slot ``s`` (dummy no-op pop when idle)."""
+        o, d, inv = O[s], D[s], INV[s]
+        t_min, t_max = TMIN[s], TMAX[s]
+
+        active = sp > 0
+        e = jnp.where(active, stack_ref[s, jnp.maximum(sp - 1, 0)],
+                      jnp.int32(dummy_enc))
+        sp = jnp.maximum(sp - 1, 0)
+        idx = jax.lax.shift_right_logical(e, 1)
+
+        def leaf_fn(args):
+            sp, cap, best_t, slot, uu, vv, tt = args
+            row = leaf_ref[pl.ds(idx // LEAVES_PER_ROW, 1), :]
+            rot = pltpu.roll(row, -(idx % LEAVES_PER_ROW) * LEAF_STRIDE, axis=1)
+            mscr[s, :] = rot[0, :]
+            for k in range(LEAF_CAP):
+                b = 9 * k
+                v0 = (mscr[s, b], mscr[s, b + 1], mscr[s, b + 2])
+                e1 = (mscr[s, b + 3], mscr[s, b + 4], mscr[s, b + 5])
+                e2 = (mscr[s, b + 6], mscr[s, b + 7], mscr[s, b + 8])
+                # Moller-Trumbore, scalar triangle broadcast vs ray tile
+                pvx = d[1] * e2[2] - d[2] * e2[1]
+                pvy = d[2] * e2[0] - d[0] * e2[2]
+                pvz = d[0] * e2[1] - d[1] * e2[0]
+                det = e1[0] * pvx + e1[1] * pvy + e1[2] * pvz
+                ok = jnp.abs(det) >= MT_DET_EPS
+                idet = 1.0 / jnp.where(ok, det, 1.0)
+                tvx = o[0] - v0[0]
+                tvy = o[1] - v0[1]
+                tvz = o[2] - v0[2]
+                u = (tvx * pvx + tvy * pvy + tvz * pvz) * idet
+                qvx = tvy * e1[2] - tvz * e1[1]
+                qvy = tvz * e1[0] - tvx * e1[2]
+                qvz = tvx * e1[1] - tvy * e1[0]
+                v = (d[0] * qvx + d[1] * qvy + d[2] * qvz) * idet
+                t = (e2[0] * qvx + e2[1] * qvy + e2[2] * qvz) * idet
+                valid = (
+                    ok
+                    & (u >= 0.0) & (u <= 1.0)
+                    & (v >= 0.0) & (u + v <= 1.0)
+                    & (t >= t_min) & (t <= t_max)
+                    & (t < best_t)
+                )
+                cand = idx * LEAF_CAP + k
+                best_t = jnp.where(valid, t, best_t)
+                slot = jnp.where(valid, cand, slot)
+                uu = jnp.where(valid, u, uu)
+                vv = jnp.where(valid, v, vv)
+            tt = tt + mscr[s, 36].astype(jnp.int32)
+            cap = jnp.minimum(best_t, t_max)
+            return sp, cap, best_t, slot, uu, vv, tt
+
+        def internal_fn(args):
+            sp, cap, best_t, slot, uu, vv, tt = args
+            row = nodes_ref[pl.ds(idx // NODES_PER_ROW, 1), :]
+            rot = pltpu.roll(row, -(idx % NODES_PER_ROW) * NODE_STRIDE, axis=1)
+            mscr[s, :] = rot[0, :]
+
+            def slab(base):
+                """Tile slab test vs box at lanes [base, base+6).  Returns
+                min entry-t over hitting rays (BIG if none; NaN boxes never
+                hit)."""
+                tn = jnp.full(shape, -_BIG, jnp.float32)
+                tf = jnp.full(shape, _BIG, jnp.float32)
+                for a in range(3):
+                    t1 = (mscr[s, base + a] - o[a]) * inv[a]
+                    t2 = (mscr[s, base + 3 + a] - o[a]) * inv[a]
+                    tn = jnp.maximum(tn, jnp.minimum(t1, t2))
+                    tf = jnp.minimum(tf, jnp.maximum(t1, t2))
+                hit = (tf >= jnp.maximum(tn, 0.0)) & (tn <= cap)
+                return jnp.min(jnp.where(hit, tn, _BIG))
+
+            lm = slab(0)
+            rm = slab(6)
+            lenc = mscr[s, 12].astype(jnp.int32)
+            renc = mscr[s, 13].astype(jnp.int32)
+
+            # far child first so the near child pops first
+            l_near = lm <= rm
+            near_e = jnp.where(l_near, lenc, renc)
+            far_e = jnp.where(l_near, renc, lenc)
+            near_h = jnp.where(l_near, lm, rm) < _BIG
+            far_h = jnp.where(l_near, rm, lm) < _BIG
+
+            stack_ref[s, jnp.minimum(sp, KSTACK - 1)] = far_e
+            sp = sp + jnp.where(far_h & (sp < KSTACK), 1, 0)
+            stack_ref[s, jnp.minimum(sp, KSTACK - 1)] = near_e
+            sp = sp + jnp.where(near_h & (sp < KSTACK), 1, 0)
+            return sp, cap, best_t, slot, uu, vv, tt
+
+        out = jax.lax.cond(
+            (e & 1) == 1, leaf_fn, internal_fn,
+            (sp, cap, best_t, slot, uu, vv, tt),
+        )
+        return out, active.astype(jnp.int32)
+
+    def cond(c):
+        sps = c[0]
+        alive = sps[0] > 0
+        for s in range(1, n_slots):
+            alive = alive | (sps[s] > 0)
+        if any_hit:
+            alive = alive & jnp.logical_not(c[8])
+        return alive
+
+    def body(c):
+        sps, caps, bts, slots, uus, vvs, tts, pops, done = c
+        sps, caps, bts = list(sps), list(caps), list(bts)
+        slots, uus, vvs, tts = list(slots), list(uus), list(vvs), list(tts)
+        for s in range(n_slots):
+            (sps[s], caps[s], bts[s], slots[s], uus[s], vvs[s], tts[s]), act = \
+                slot_step(s, sps[s], caps[s], bts[s], slots[s], uus[s],
+                          vvs[s], tts[s])
+            pops = pops + act
+        if any_hit:
+            done = jnp.min(slots[0]) >= 0
+            for s in range(1, n_slots):
+                done = done & (jnp.min(slots[s]) >= 0)
+        return (tuple(sps), tuple(caps), tuple(bts), tuple(slots),
+                tuple(uus), tuple(vvs), tuple(tts), pops, done)
+
+    init = (
+        tuple(jnp.int32(1) for _ in range(n_slots)),
+        tuple(jnp.minimum(jnp.full(shape, _BIG, jnp.float32), TMAX[s])
+              for s in range(n_slots)),
+        tuple(jnp.full(shape, _BIG, jnp.float32) for _ in range(n_slots)),
+        tuple(jnp.full(shape, -1, jnp.int32) for _ in range(n_slots)),
+        tuple(jnp.zeros(shape, jnp.float32) for _ in range(n_slots)),
+        tuple(jnp.zeros(shape, jnp.float32) for _ in range(n_slots)),
+        tuple(jnp.zeros(shape, jnp.int32) for _ in range(n_slots)),
+        jnp.int32(0),
+        jnp.bool_(False),
+    )
+    sps, caps, bts, slots, uus, vvs, tts, pops, done = jax.lax.while_loop(
+        cond, body, init
+    )
+
+    for s in range(n_slots):
+        r0 = s * SROWS
+        found = slots[s] >= 0
+        t_out[r0:r0 + SROWS, :] = jnp.where(found, bts[s], T_MAX_DEFAULT)
+        slot_out[r0:r0 + SROWS, :] = slots[s]
+        u_out[r0:r0 + SROWS, :] = jnp.where(found, uus[s], 0.0)
+        v_out[r0:r0 + SROWS, :] = jnp.where(found, vvs[s], 0.0)
+        tt_out[r0:r0 + SROWS, :] = tts[s]
+    pops_out[:, :] = jnp.full((n_slots * SROWS, 128), pops, jnp.int32)
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def _call_kernel(rfields, nodes, leaf_tris, *, any_hit, interpret, num_steps,
+                 n_slots, dummy_enc):
+    grid = (num_steps,)
+    rows = n_slots * SROWS
+    ray_spec = pl.BlockSpec(
+        (rows, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out_specs = (ray_spec,) * 6
+    n_rows = num_steps * rows
+    out_shape = (
+        jax.ShapeDtypeStruct((n_rows, 128), jnp.float32),   # t
+        jax.ShapeDtypeStruct((n_rows, 128), jnp.int32),     # slot
+        jax.ShapeDtypeStruct((n_rows, 128), jnp.float32),   # u
+        jax.ShapeDtypeStruct((n_rows, 128), jnp.float32),   # v
+        jax.ShapeDtypeStruct((n_rows, 128), jnp.int32),     # tri tests
+        jax.ShapeDtypeStruct((n_rows, 128), jnp.int32),     # pops (broadcast)
+    )
+    kern = functools.partial(
+        _traverse_kernel, any_hit=any_hit, n_slots=n_slots,
+        dummy_enc=dummy_enc,
+    )
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[ray_spec] * 8 + [full, full],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.SMEM((n_slots, KSTACK), jnp.int32),
+            pltpu.VMEM((n_slots, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*rfields, nodes, leaf_tris)
+
+
+def cast_rays_wide(
+    rays: Rays,
+    scene: WideScene,
+    query_mask: int = -1,
+    any_hit: bool = False,
+    interpret: bool | None = None,
+    n_slots: int = N_SLOTS,
+) -> tuple[Hits, RayStats, jnp.ndarray]:
+    """Cast a ray batch through the wide-node scene with the Pallas kernel.
+
+    ``query_mask`` must be a static Python int (it selects a pre-masked
+    triangle view; -1 = all layers skips the masking pass entirely).
+    Returns (hits, stats, occluded).
+
+    The whole path (pad/reshape -> kernel -> gather/stats) is one jitted
+    computation: a single device dispatch per cast, which matters because
+    per-dispatch latency is ~ms-scale through remote-device tunnels.
+    """
+    if interpret is None:
+        interpret = not _on_tpu()
+    return _cast_rays_wide_jit(
+        rays, scene, query_mask=int(query_mask), any_hit=any_hit,
+        interpret=interpret, n_slots=n_slots,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("query_mask", "any_hit", "interpret", "n_slots")
+)
+def _cast_rays_wide_jit(
+    rays: Rays,
+    scene: WideScene,
+    *,
+    query_mask: int,
+    any_hit: bool,
+    interpret: bool,
+    n_slots: int,
+) -> tuple[Hits, RayStats, jnp.ndarray]:
+    n = rays.count
+    step = n_slots * SROWS * 128
+    pad = (-n) % step
+    num_steps = (n + pad) // step
+
+    def fld(x, fillv):
+        x = jnp.concatenate([x, jnp.full((pad,), fillv, x.dtype)]) if pad else x
+        return x.reshape(num_steps * n_slots * SROWS, 128)
+
+    rfields = (
+        fld(rays.origin[:, 0], 0.0), fld(rays.origin[:, 1], 0.0),
+        fld(rays.origin[:, 2], 0.0),
+        fld(rays.direction[:, 0], 0.0), fld(rays.direction[:, 1], 0.0),
+        fld(rays.direction[:, 2], 1.0),
+        fld(rays.t_min, 0.0), fld(rays.t_max, -1.0),  # padded rays never hit
+    )
+
+    leaf_tris = scene.leaf_tris
+    if query_mask != -1:
+        leaf_tris = _mask_leaf_tris(scene, query_mask)
+
+    t, slot, u, v, tt, pops = _call_kernel(
+        rfields, scene.nodes, leaf_tris,
+        any_hit=any_hit, interpret=interpret, num_steps=num_steps,
+        n_slots=n_slots, dummy_enc=scene.dummy_enc,
+    )
+
+    t = t.reshape(-1)[:n]
+    slot = slot.reshape(-1)[:n]
+    u = u.reshape(-1)[:n]
+    v = v.reshape(-1)[:n]
+    tt = tt.reshape(-1)[:n]
+    pops = pops.reshape(num_steps, n_slots * SROWS, 128)[:, 0, 0]
+
+    found = slot >= 0
+    gslot = jnp.maximum(slot, 0)
+    hits = Hits(
+        t=t,
+        position=jnp.where(
+            found[:, None], rays.origin + rays.direction * t[:, None], 0.0
+        ),
+        normal=jnp.where(found[:, None], scene.slot_normal[gslot], 0.0),
+        u=u,
+        v=v,
+        prim_id=jnp.where(found, scene.slot_prim_id[gslot], NO_HIT),
+        hit_layers=jnp.where(found, scene.slot_layers[gslot], 0),
+    )
+    stats = RayStats(
+        rays_cast=jnp.int32(n),
+        tri_tests=jnp.sum(tt),
+        bvh_nodes_visited=jnp.sum(pops),
+        hits=jnp.sum(found.astype(jnp.int32)),
+    )
+    return hits, stats, found
+
+
+@functools.partial(jax.jit, static_argnames=("query_mask",))
+def _mask_leaf_tris(scene: WideScene, query_mask: int) -> jnp.ndarray:
+    """Zero the edge fields of masked-out triangles so the kernel's MT
+    rejects them (filter-during-traversal semantics, ray_scene.h:124).
+
+    One fused elementwise pass over the leaf rows, keyed on the static mask.
+    """
+    num_leaves = scene.slot_layers.shape[0] // LEAF_CAP
+    ok = (scene.slot_layers & query_mask) != 0        # (4L,)
+    ok = ok.reshape(num_leaves, LEAF_CAP)
+    factor = jnp.ones((num_leaves, LEAF_STRIDE), jnp.float32)
+    for k in range(LEAF_CAP):
+        b = 9 * k
+        factor = factor.at[:, b + 3 : b + 9].set(
+            jnp.where(ok[:, k : k + 1], 1.0, 0.0)
+        )
+    rows = scene.leaf_tris.shape[0]
+    padded = jnp.zeros((rows * LEAVES_PER_ROW, LEAF_STRIDE), jnp.float32)
+    padded = padded.at[:num_leaves].set(factor)
+    return scene.leaf_tris * padded.reshape(rows, 128)
+
+
+# Back-compat aliases
+TILE_ROWS = SROWS
+TILE = SROWS * 128

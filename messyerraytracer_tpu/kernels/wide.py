@@ -1,0 +1,245 @@
+"""Wide-node (dual-AABB) device layout for the Pallas traversal kernel.
+
+TPU-native analogue of the reference GPU backend's Aila-Laine conversion
+(src/gpu/gpu_ray_caster.cpp:219-312): each *internal* BVH node becomes a
+"wide node" storing BOTH children's AABBs plus child pointers, so one row
+fetch per traversal step yields everything needed to test and push both
+children (the reference gets the same effect with a single 64B node fetch).
+
+Lane-packing: TPU VMEM rows are 128 lanes, and the only efficient dynamic
+lane access is a whole-row load + dynamic rotate (``pltpu.roll``).  So:
+
+  * ``nodes``:     (NR, 128) f32 — 8 wide nodes per row, 16 lanes each:
+                   [Lmin.xyz, Lmax.xyz, Rmin.xyz, Rmax.xyz, Lenc, Renc, 0, 0]
+                   enc = 2*ptr + is_leaf, float-encoded (exact, ptr < 2^23);
+                   ptr = wide-node index (internal) or leaf index (leaf).
+                   A trailing dummy node has NaN boxes (never hit — the
+                   reference's NaN sentinel, gpu_ray_caster.cpp:263-268).
+  * ``leaf_tris``: (LR, 128) f32 — 2 leaves per row, 64 lanes each:
+                   4 tris x 9 fields [v0.xyz, e1.xyz, e2.xyz] at lane
+                   9k+f, lane 36 = real tri count; padding tris have zero
+                   edges so Moller-Trumbore rejects them via the
+                   determinant epsilon — the kernel needs no count checks
+  * ``slot_*``:    per padded slot (4 * num_leaves) metadata gathered
+                   after the kernel: prim_id, layers, normal
+
+**Index-based packing.** Both lane-packed arrays are materialized as a
+gather ``src[idx]`` where ``src`` concatenates the narrow-BVH AABB arrays /
+triangle arrays with a small constant tail.  The index arrays are computed
+once at build (host, numpy); ``refresh_wide_scene`` then re-runs the same
+gather *on device* after a refit, so per-frame geometry updates never leave
+the TPU (SURVEY.md north star; reference refit scene_tlas.h:180-196).
+
+Leaves are emitted in DFS discovery order for memory coherence.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.types import Triangles
+from ..utils.struct import pytree_dataclass
+from ..accel.bvh import BVH
+
+NODES_PER_ROW = 8     # 16 lanes each
+NODE_STRIDE = 16
+LEAVES_PER_ROW = 2    # 64 lanes each
+LEAF_STRIDE = 64
+LEAF_CAP = 4          # MAX_LEAF_SIZE
+
+
+@pytree_dataclass(meta_fields=("dummy_enc",))
+class WideScene:
+    """Device arrays consumed by the Pallas traversal kernel."""
+
+    nodes: jnp.ndarray         # (NR, 128) f32
+    leaf_tris: jnp.ndarray     # (LR, 128) f32
+    slot_prim_id: jnp.ndarray  # (4L,) int32
+    slot_layers: jnp.ndarray   # (4L,) int32
+    slot_normal: jnp.ndarray   # (4L, 3) f32
+    slot_tri: jnp.ndarray      # (4L,) int32 tri slot per padded slot (0 if pad)
+    node_idx: jnp.ndarray      # (NR, 128) int32 gather indices (device refresh)
+    leaf_idx: jnp.ndarray      # (LR, 128) int32
+    node_const: jnp.ndarray    # (...,) f32 constant tail for node gather
+    leaf_const: jnp.ndarray    # (...,) f32 constant tail for leaf gather
+    dummy_enc: int             # stack encoding of the never-hit dummy node
+
+    @property
+    def num_leaves(self) -> int:
+        return self.slot_prim_id.shape[0] // LEAF_CAP
+
+
+def _pack_idx(rows: np.ndarray, per_row: int, stride: int, fill: int):
+    """Pack per-node index rows into (NR, 128) with pad entries = ``fill``."""
+    n, w = rows.shape
+    assert stride * per_row == 128 and w <= stride
+    nr = -(-n // per_row)
+    nr_pad = max(-(-nr // 8) * 8, 8)  # sublane multiple
+    buf = np.full((nr_pad * per_row, stride), fill, rows.dtype)
+    buf[:n, :w] = rows
+    return buf.reshape(nr_pad, 128)
+
+
+def build_wide_scene(bvh: BVH, tris: Triangles, _np=None) -> WideScene:
+    """Convert a DFS narrow-node BVH + slot-ordered triangles to the wide
+    lane-packed layout.  Host-side (numpy), runs once per topology (re)build;
+    per-frame geometry updates use ``refresh_wide_scene`` instead.
+
+    ``_np`` optionally provides host copies (v0, e1, e2, normal, prim_id,
+    layers) to skip device->host readbacks of ``tris``.
+    """
+    amin = np.asarray(bvh.aabb_min)
+    amax = np.asarray(bvh.aabb_max)
+    lf = np.asarray(bvh.left_first)
+    cnt = np.asarray(bvh.count)
+    m = amin.shape[0]
+
+    if _np is not None:
+        v0, e1, e2, nrm, pid, lay = (np.asarray(a) for a in _np)
+    else:
+        v0 = np.asarray(tris.v0)
+        e1 = np.asarray(tris.edge1)
+        e2 = np.asarray(tris.edge2)
+        nrm = np.asarray(tris.normal)
+        pid = np.asarray(tris.prim_id)
+        lay = np.asarray(tris.layers)
+    t = v0.shape[0]
+
+    is_leaf = cnt > 0
+    internal = np.nonzero(~is_leaf)[0]
+    leaves = np.nonzero(is_leaf)[0]
+    wide_of = np.cumsum(~is_leaf) - 1   # valid where internal
+    leaf_of = np.cumsum(is_leaf) - 1    # valid where leaf
+
+    # trailing dummy node: NaN boxes never hit -> no-op pop target
+    num_wide = max(len(internal), 1) + 1
+    num_leaf = len(leaves)
+
+    # --- node gather indices ------------------------------------------
+    # node src = [amin.flat (3M), amax.flat (3M), node_const]
+    # node_const = [Lenc (W,), Renc (W,), 0.0, NaN]
+    cb = 6 * m
+    lenc = np.zeros(num_wide, np.float32)
+    renc = np.zeros(num_wide, np.float32)
+    zero_pos = cb + 2 * num_wide
+    nan_pos = zero_pos + 1
+    nidx = np.full((num_wide, NODE_STRIDE), zero_pos, np.int64)
+    nidx[-1, 0:12] = nan_pos  # dummy node
+
+    axes = np.arange(3)
+    if len(internal) == 0:
+        # Root is a leaf: synthesize one wide node, left = leaf 0, right =
+        # never-hit NaN box.
+        nidx[0, 0:3] = 3 * 0 + axes
+        nidx[0, 3:6] = 3 * m + 3 * 0 + axes
+        nidx[0, 6:12] = nan_pos
+        nidx[0, 12] = cb + 0
+        nidx[0, 13] = cb + num_wide + 0
+        lenc[0] = 1.0  # leaf 0
+        renc[0] = 1.0
+    else:
+        ni = len(internal)
+        l = internal + 1
+        r = lf[internal]
+        w = np.arange(ni)
+        nidx[:ni, 0:3] = 3 * l[:, None] + axes[None, :]
+        nidx[:ni, 3:6] = 3 * m + 3 * l[:, None] + axes[None, :]
+        nidx[:ni, 6:9] = 3 * r[:, None] + axes[None, :]
+        nidx[:ni, 9:12] = 3 * m + 3 * r[:, None] + axes[None, :]
+        nidx[:ni, 12] = cb + w
+        nidx[:ni, 13] = cb + num_wide + w
+        # child meta packed to ONE float each: enc = 2*ptr + is_leaf
+        # (exact for ptr < 2^23)
+        lptr = np.where(is_leaf[l], leaf_of[l], wide_of[l])
+        rptr = np.where(is_leaf[r], leaf_of[r], wide_of[r])
+        lenc[:ni] = 2.0 * lptr + is_leaf[l]
+        renc[:ni] = 2.0 * rptr + is_leaf[r]
+
+    node_const = np.concatenate(
+        [lenc, renc, [0.0], [np.nan]]
+    ).astype(np.float32)
+    node_idx = _pack_idx(nidx, NODES_PER_ROW, NODE_STRIDE, zero_pos)
+
+    # --- leaf gather indices ------------------------------------------
+    # leaf src = [v0.flat (3T), e1.flat (3T), e2.flat (3T), leaf_const]
+    # leaf_const = [counts (L,), 0.0]
+    first = lf[leaves][:, None]                       # (L, 1)
+    c = cnt[leaves][:, None]
+    ks = np.arange(LEAF_CAP)[None, :]
+    slots = np.clip(first + ks, 0, max(t - 1, 0))     # (L, 4)
+    valid = ks < c
+    cb2 = 9 * t
+    zero2 = cb2 + num_leaf
+    lidx = np.full((max(num_leaf, 1), LEAF_STRIDE), zero2, np.int64)
+    for k in range(LEAF_CAP):
+        b = 9 * k
+        s3 = 3 * slots[:, k : k + 1] + axes[None, :]
+        vm = valid[:, k : k + 1]
+        lidx[:num_leaf, b : b + 3] = np.where(vm, s3, zero2)
+        lidx[:num_leaf, b + 3 : b + 6] = np.where(vm, 3 * t + s3, zero2)
+        lidx[:num_leaf, b + 6 : b + 9] = np.where(vm, 6 * t + s3, zero2)
+    lidx[:num_leaf, 36] = cb2 + np.arange(num_leaf)
+    leaf_const = np.concatenate(
+        [cnt[leaves].astype(np.float32), [0.0]]
+    ).astype(np.float32)
+    leaf_idx = _pack_idx(lidx, LEAVES_PER_ROW, LEAF_STRIDE, zero2)
+
+    # --- materialize via the same gather the device refresh uses -------
+    node_src = np.concatenate([amin.reshape(-1), amax.reshape(-1), node_const])
+    leaf_src = np.concatenate(
+        [v0.reshape(-1), e1.reshape(-1), e2.reshape(-1), leaf_const]
+    )
+    nodes = node_src[node_idx].astype(np.float32)
+    leaf_rows = leaf_src[leaf_idx].astype(np.float32)
+
+    # --- per-padded-slot metadata -------------------------------------
+    slot_tri = np.where(valid, slots, 0).astype(np.int32).reshape(-1)
+    slot_pid = np.where(valid, pid[slots], -1).astype(np.int32).reshape(-1)
+    slot_lay = np.where(valid, lay[slots], 0).astype(np.int32).reshape(-1)
+    slot_nrm = (
+        np.where(valid[..., None], nrm[slots], 0.0)
+        .astype(np.float32)
+        .reshape(-1, 3)
+    )
+
+    return WideScene(
+        nodes=jnp.asarray(nodes),
+        leaf_tris=jnp.asarray(leaf_rows),
+        slot_prim_id=jnp.asarray(slot_pid),
+        slot_layers=jnp.asarray(slot_lay),
+        slot_normal=jnp.asarray(slot_nrm),
+        slot_tri=jnp.asarray(slot_tri),
+        node_idx=jnp.asarray(node_idx.astype(np.int32)),
+        leaf_idx=jnp.asarray(leaf_idx.astype(np.int32)),
+        node_const=jnp.asarray(node_const),
+        leaf_const=jnp.asarray(leaf_const),
+        dummy_enc=2 * (num_wide - 1),
+    )
+
+
+@jax.jit
+def refresh_wide_scene(wide: WideScene, bvh: BVH, tris: Triangles) -> WideScene:
+    """Rebuild the lane-packed arrays from refit BVH/triangle data — fully
+    on device (two gathers + a normal gather), so refits never round-trip
+    to host.  Topology (index arrays, encs, counts) is unchanged.
+    """
+    node_src = jnp.concatenate(
+        [bvh.aabb_min.reshape(-1), bvh.aabb_max.reshape(-1), wide.node_const]
+    )
+    leaf_src = jnp.concatenate(
+        [
+            tris.v0.reshape(-1),
+            tris.edge1.reshape(-1),
+            tris.edge2.reshape(-1),
+            wide.leaf_const,
+        ]
+    )
+    valid = wide.slot_prim_id >= 0
+    slot_nrm = jnp.where(valid[:, None], tris.normal[wide.slot_tri], 0.0)
+    return wide.replace(
+        nodes=node_src[wide.node_idx],
+        leaf_tris=leaf_src[wide.leaf_idx],
+        slot_normal=slot_nrm,
+    )

@@ -10,11 +10,14 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..accel.bvh import BVH, build_bvh, refit_bvh
 from ..accel.traverse import cast_rays_bvh
+from ..kernels.traverse_pallas import cast_rays_wide
+from ..kernels.wide import WideScene, build_wide_scene, refresh_wide_scene
 from ..core.brute import any_hit_brute, cast_rays_brute
 from ..core.types import (
     ALL_LAYERS,
@@ -37,23 +40,38 @@ class RayScene:
 
     tris: Triangles
     bvh: BVH
-    use_bvh: bool = True  # validation switch (ray_scene.h:59)
+    wide: WideScene | None = None
+    use_bvh: bool = True       # validation switch (ray_scene.h:59)
+    backend: str = "pallas"    # "pallas" | "jnp" | "brute"
 
     @property
     def num_tris(self) -> int:
         return self.tris.count
 
     def cast_rays(self, rays: Rays, query_mask=ALL_LAYERS) -> tuple[Hits, RayStats]:
-        """Batched closest-hit cast (ray_scene.h:96-131 semantics)."""
-        if not self.use_bvh:
+        """Batched closest-hit cast (ray_scene.h:96-131 semantics).
+
+        Routes to the Pallas packet kernel, the jnp reference traversal, or
+        the brute-force oracle (the TPU analogue of the reference's
+        CPU/GPU/AUTO dispatcher, src/dispatch/ray_dispatcher.h:124-181).
+        """
+        if not self.use_bvh or self.backend == "brute":
             return cast_rays_brute(rays, self.tris, query_mask)
+        if self.backend == "pallas" and self.wide is not None:
+            hits, stats, _ = cast_rays_wide(rays, self.wide, int(query_mask))
+            return hits, stats
         hits, stats, _ = cast_rays_bvh(rays, self.tris, self.bvh, query_mask)
         return hits, stats
 
     def any_hit_rays(self, rays: Rays, query_mask=ALL_LAYERS) -> jnp.ndarray:
         """Batched occlusion query (ray_scene.h:135-160 semantics)."""
-        if not self.use_bvh:
+        if not self.use_bvh or self.backend == "brute":
             return any_hit_brute(rays, self.tris, query_mask)
+        if self.backend == "pallas" and self.wide is not None:
+            _, _, occluded = cast_rays_wide(
+                rays, self.wide, int(query_mask), any_hit=True
+            )
+            return occluded
         _, _, occluded = cast_rays_bvh(
             rays, self.tris, self.bvh, query_mask, any_hit=True
         )
@@ -64,21 +82,33 @@ class RayScene:
 
         ``v0/v1/v2`` are (T,3) arrays in *original* triangle order; they are
         re-sorted into slot order with the build permutation, triangles are
-        re-derived, and node AABBs are refit bottom-up on device.
+        re-derived, and node AABBs are refit bottom-up — all in ONE jitted
+        device computation (no host round trip; scene_tlas.h:180-196 is the
+        reference's O(N) refit this replaces).
         """
-        perm = self.bvh.tri_order
-        v0 = jnp.asarray(v0, jnp.float32)[perm]
-        v1 = jnp.asarray(v1, jnp.float32)[perm]
-        v2 = jnp.asarray(v2, jnp.float32)[perm]
-        tris = make_triangles(
-            v0, v1, v2, prim_id=self.tris.prim_id, layers=self.tris.layers
+        tris, bvh, wide = _refit_jit(
+            self.bvh, self.wide, self.tris,
+            jnp.asarray(v0, jnp.float32), jnp.asarray(v1, jnp.float32),
+            jnp.asarray(v2, jnp.float32),
         )
-        tmin, tmax = aabb_of_triangles(tris.v0, tris.v1, tris.v2)
-        bvh = refit_bvh(self.bvh, tmin, tmax)
-        return dataclasses.replace(self, tris=tris, bvh=bvh)
+        return dataclasses.replace(self, tris=tris, bvh=bvh, wide=wide)
 
 
-def build_scene(v0, v1, v2, layers=None, prim_id=None, use_bvh=True) -> RayScene:
+@jax.jit
+def _refit_jit(bvh, wide, old_tris, v0, v1, v2):
+    perm = bvh.tri_order
+    tris = make_triangles(
+        v0[perm], v1[perm], v2[perm],
+        prim_id=old_tris.prim_id, layers=old_tris.layers,
+    )
+    tmin, tmax = aabb_of_triangles(tris.v0, tris.v1, tris.v2)
+    bvh2 = refit_bvh(bvh, tmin, tmax)
+    wide2 = refresh_wide_scene(wide, bvh2, tris) if wide is not None else None
+    return tris, bvh2, wide2
+
+
+def build_scene(v0, v1, v2, layers=None, prim_id=None, use_bvh=True,
+                backend="pallas") -> RayScene:
     """Build a flat scene from (T,3) vertex arrays.
 
     The BVH build runs on host; the returned SoA arrays are device-resident.
@@ -98,10 +128,27 @@ def build_scene(v0, v1, v2, layers=None, prim_id=None, use_bvh=True) -> RayScene
         layers = np.full((t,), ALL_LAYERS, np.int32)
     else:
         layers = np.asarray(layers, np.int32)
-    tris = make_triangles(
-        v0[perm], v1[perm], v2[perm], prim_id=prim_id[perm], layers=layers[perm]
+    # Derive edges/normals in numpy: the eager jnp path would dispatch ~10
+    # tiny device ops per build (each paying remote-compile/dispatch latency
+    # on tunneled devices); numpy + one final device put is ~100x faster.
+    pv0, pv1, pv2 = v0[perm], v1[perm], v2[perm]
+    e1 = pv1 - pv0
+    e2 = pv2 - pv0
+    nrm = np.cross(e1, e2)
+    nlen = np.linalg.norm(nrm, axis=-1, keepdims=True)
+    nrm = nrm / np.where(nlen > 0.0, nlen, 1.0)
+    tris = Triangles(
+        v0=jnp.asarray(pv0), edge1=jnp.asarray(e1), edge2=jnp.asarray(e2),
+        normal=jnp.asarray(nrm.astype(np.float32)),
+        prim_id=jnp.asarray(prim_id[perm]), layers=jnp.asarray(layers[perm]),
     )
-    return RayScene(tris=tris, bvh=bvh, use_bvh=use_bvh)
+    wide = (
+        build_wide_scene(bvh, tris, _np=(pv0, e1, e2, nrm, prim_id[perm],
+                                         layers[perm]))
+        if backend == "pallas" else None
+    )
+    return RayScene(tris=tris, bvh=bvh, wide=wide, use_bvh=use_bvh,
+                    backend=backend)
 
 
 def build_scene_from_tri_array(tri_array, **kw) -> RayScene:

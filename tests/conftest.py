@@ -4,12 +4,15 @@ Tests never require TPU hardware — Pallas kernels run in interpret mode on
 CPU (selected automatically by messyerraytracer_tpu.kernels), and sharding
 tests use an 8-device virtual CPU mesh (SURVEY.md §4 test plan).
 
-Must run before the first ``import jax`` anywhere in the test process.
+On tunneled-TPU hosts a sitecustomize may have already imported jax and
+registered/initialized a TPU backend before this conftest runs, so setting
+environment variables is not enough: we must override via jax.config (which
+resets the backend selection).
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -18,4 +21,5 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)

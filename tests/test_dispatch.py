@@ -1,0 +1,125 @@
+"""Morton sort + dispatcher pipeline tests."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from messyerraytracer_tpu.core.brute import cast_rays_brute
+from messyerraytracer_tpu.core.types import make_rays
+from messyerraytracer_tpu.dispatch.morton import (
+    apply_permutation,
+    morton_encode_3d,
+    morton_spread_10,
+    raster_block_permutation,
+    ray_direction_morton,
+    sort_rays_by_direction,
+    unshuffle_flags,
+    unshuffle_hits,
+)
+from messyerraytracer_tpu.dispatch.dispatcher import RayDispatcher
+from messyerraytracer_tpu.scene.scene import build_scene_from_tri_array
+from messyerraytracer_tpu.utils import meshes
+
+
+def random_rays(n, seed=0, extent=3.0):
+    rng = np.random.default_rng(seed)
+    o = rng.uniform(-extent, extent, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return make_rays(o, d)
+
+
+class TestMorton:
+    def test_spread_matches_reference_bit_pattern(self):
+        # morton_spread_10: 0b1101 -> 0b1001000001001 (ray_sort.h:41-50)
+        v = jnp.asarray([0b1101], jnp.int32)
+        out = int(morton_spread_10(v)[0])
+        expect = 0
+        for bit in range(10):
+            if (0b1101 >> bit) & 1:
+                expect |= 1 << (3 * bit)
+        assert out == expect
+        # 30-bit output for max input
+        assert int(morton_spread_10(jnp.asarray([1023], jnp.int32))[0]) == 0x09249249
+
+    def test_encode_interleaving(self):
+        # x gets bits 2,5,8..., y bits 1,4,7..., z bits 0,3,6...
+        x = jnp.asarray([1], jnp.int32)
+        y = jnp.asarray([0], jnp.int32)
+        z = jnp.asarray([0], jnp.int32)
+        assert int(morton_encode_3d(x, y, z)[0]) == 0b100
+        assert int(morton_encode_3d(y, x, z)[0]) == 0b010
+        assert int(morton_encode_3d(y, z, x)[0]) == 0b001
+
+    def test_direction_morton_locality(self):
+        # Nearby directions share high Morton bits more than opposite ones.
+        d = jnp.asarray(
+            [[1, 0, 0], [0.99, 0.1, 0], [-1, 0, 0]], jnp.float32
+        )
+        keys = np.asarray(ray_direction_morton(d))
+        assert abs(keys[0] - keys[1]) < abs(keys[0] - keys[2])
+
+    def test_sort_unshuffle_roundtrip(self):
+        rays = random_rays(777, seed=3)
+        sorted_rays, perm = sort_rays_by_direction(rays)
+        # permutation is a bijection
+        assert sorted(np.asarray(perm).tolist()) == list(range(777))
+        keys = np.asarray(ray_direction_morton(sorted_rays.direction))
+        assert (np.diff(keys) >= 0).all()
+        # flags roundtrip
+        flags = jnp.asarray(np.arange(777) % 2 == 0)
+        sorted_flags = flags[perm]
+        back = unshuffle_flags(sorted_flags, perm)
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(flags))
+
+    def test_block_permutation(self):
+        perm = raster_block_permutation(8, 4, block=2)
+        assert sorted(perm.tolist()) == list(range(32))
+        # first block is the 2x2 top-left pixels in raster coords 0,1,8,9
+        assert sorted(perm[:4].tolist()) == [0, 1, 8, 9]
+
+
+class TestDispatcher:
+    def test_sorted_cast_matches_unsorted(self):
+        scene = build_scene_from_tri_array(
+            meshes.uv_sphere(radius=1.0, rings=8, segments=16)
+        )
+        disp = RayDispatcher(scene)
+        rays = random_rays(512, seed=5)
+        # incoherent path (Morton sort + unshuffle)
+        hits, _ = disp.cast_rays(rays, coherent=False)
+        # reference: direct brute cast in original order
+        ref, _ = cast_rays_brute(rays, scene.tris)
+        np.testing.assert_array_equal(
+            np.asarray(hits.prim_id), np.asarray(ref.prim_id)
+        )
+        np.testing.assert_allclose(np.asarray(hits.t), np.asarray(ref.t), rtol=1e-6)
+        # coherent hint path
+        hits2, _ = disp.cast_rays(rays, coherent=True)
+        np.testing.assert_array_equal(
+            np.asarray(hits2.prim_id), np.asarray(ref.prim_id)
+        )
+
+    def test_small_batch_skips_sort(self):
+        # < MIN_BATCH_FOR_SORTING: output order must be input order
+        scene = build_scene_from_tri_array(
+            meshes.uv_sphere(radius=1.0, rings=8, segments=16)
+        )
+        disp = RayDispatcher(scene)
+        rays = random_rays(64, seed=7)
+        hits, _ = disp.cast_rays(rays)
+        ref, _ = cast_rays_brute(rays, scene.tris)
+        np.testing.assert_array_equal(
+            np.asarray(hits.prim_id), np.asarray(ref.prim_id)
+        )
+
+    def test_any_hit_dispatch(self):
+        from messyerraytracer_tpu.core.brute import any_hit_brute
+
+        scene = build_scene_from_tri_array(
+            meshes.uv_sphere(radius=1.0, rings=8, segments=16)
+        )
+        disp = RayDispatcher(scene)
+        rays = random_rays(512, seed=9)
+        occ = disp.any_hit_rays(rays)
+        ref = any_hit_brute(rays, scene.tris)
+        np.testing.assert_array_equal(np.asarray(occ), np.asarray(ref))

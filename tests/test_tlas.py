@@ -1,0 +1,147 @@
+"""TLAS / instancing tests: flatten path, two-level path, refit."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from messyerraytracer_tpu.accel.tlas import SceneTLAS
+from messyerraytracer_tpu.core.brute import cast_rays_brute
+from messyerraytracer_tpu.core.types import NO_HIT, make_rays
+from messyerraytracer_tpu.render.camera import CameraParams, generate_rays
+from messyerraytracer_tpu.utils import meshes
+
+
+def translate(t):
+    m = np.eye(4, dtype=np.float32)
+    m[:3, 3] = t
+    return m
+
+
+def rot_y(theta, t=(0, 0, 0)):
+    c, s = np.cos(theta), np.sin(theta)
+    m = np.eye(4, dtype=np.float32)
+    m[:3, :3] = [[c, 0, s], [0, 1, 0], [-s, 0, c]]
+    m[:3, 3] = t
+    return m
+
+
+def scale(s, t=(0, 0, 0)):
+    m = np.eye(4, dtype=np.float32)
+    m[0, 0] = m[1, 1] = m[2, 2] = s
+    m[:3, 3] = t
+    return m
+
+
+def build_three_spheres(backend="pallas"):
+    tlas = SceneTLAS(backend=backend)
+    sphere = meshes.uv_sphere(radius=1.0, rings=8, segments=16)
+    sid = tlas.add_mesh(sphere)
+    tlas.add_instance(sid, translate((-3, 0, 0)))
+    tlas.add_instance(sid, translate((0, 0, 0)))
+    tlas.add_instance(sid, rot_y(0.7, (3, 0, 0)))
+    tlas.build_tlas()
+    return tlas
+
+
+class TestFlattenPath:
+    def test_hits_per_instance(self):
+        tlas = build_three_spheres()
+        # origins slightly off the spheres' symmetry planes: exactly-on-axis
+        # rays hit shared mesh edges at barycentric boundaries, where f32
+        # rounding legitimately differs between kernel and oracle
+        origins = np.float32(
+            [[-2.89, 0.07, 5], [0.11, 0.07, 5], [3.11, 0.07, 5], [9, 0.07, 5]]
+        )
+        dirs = np.float32([[0, 0, -1]] * 4)
+        rays = make_rays(origins, dirs)
+        hits, stats, inst = tlas.cast_rays(rays)
+        assert np.asarray(hits.hit)[:3].all()
+        assert not bool(hits.hit[3])
+        np.testing.assert_array_equal(np.asarray(inst), [0, 1, 2, -1])
+        # sphere front faces at z=1 -> t=4 for all three
+        np.testing.assert_allclose(np.asarray(hits.t[:3]), 4.0, atol=0.1)
+
+    def test_flat_matches_brute(self):
+        tlas = build_three_spheres()
+        rng = np.random.default_rng(0)
+        o = rng.uniform(-5, 5, (256, 3)).astype(np.float32)
+        d = rng.normal(size=(256, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        rays = make_rays(o, d)
+        hits, _, _ = tlas.cast_rays(rays)
+        ref, _ = cast_rays_brute(rays, tlas.flat.tris)
+        np.testing.assert_array_equal(
+            np.asarray(hits.prim_id), np.asarray(ref.prim_id)
+        )
+        np.testing.assert_allclose(np.asarray(hits.t), np.asarray(ref.t), rtol=1e-6)
+
+
+class TestTwoLevelPath:
+    def test_matches_flatten(self):
+        tlas = build_three_spheres(backend="jnp")
+        rng = np.random.default_rng(1)
+        o = rng.uniform(-5, 5, (64, 3)).astype(np.float32)
+        d = rng.normal(size=(64, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        rays = make_rays(o, d)
+        h_flat, _, inst_flat = tlas.cast_rays(rays)
+        h_two, inst_two = tlas.cast_rays_two_level(rays)
+        # t values must agree closely (different arithmetic order)
+        np.testing.assert_allclose(
+            np.asarray(h_flat.t), np.asarray(h_two.t), rtol=2e-4
+        )
+        np.testing.assert_array_equal(
+            np.asarray(h_flat.hit), np.asarray(h_two.hit)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(inst_flat), np.asarray(inst_two)
+        )
+
+    def test_scaled_instance_world_t(self):
+        # t stays world-parameterized for non-uniform instance scaling
+        # because the object-space direction is NOT renormalized
+        # (blas_instance.h:48-59).
+        tlas = SceneTLAS(backend="jnp")
+        sphere = meshes.uv_sphere(radius=1.0, rings=12, segments=24)
+        sid = tlas.add_mesh(sphere)
+        tlas.add_instance(sid, scale(2.0))  # radius-2 sphere at origin
+        tlas.build_tlas()
+        rays = make_rays((0.11, 0.07, 10), (0, 0, -1))
+        h, inst = tlas.cast_rays_two_level(rays)
+        assert bool(h.hit[0])
+        assert abs(float(h.t[0]) - 8.0) < 0.1  # world distance to r=2 front
+        h2, _, _ = tlas.cast_rays(rays)
+        assert abs(float(h2.t[0]) - 8.0) < 0.1
+
+
+class TestRefit:
+    def test_transform_update_moves_hits(self):
+        tlas = build_three_spheres()
+        rays = make_rays((0.11, 0.07, 5), (0, 0, -1))
+        h0, _, inst0 = tlas.cast_rays(rays)
+        assert int(inst0[0]) == 1
+        # move center sphere out of the way
+        tlas.set_transform(1, translate((0, 10, 0)))
+        tlas.refit_tlas()
+        h1, _, inst1 = tlas.cast_rays(rays)
+        assert not bool(h1.hit[0])
+        # moved sphere visible from above
+        rays2 = make_rays((0.11, 15, 0.07), (0, -1, 0))
+        h2, _, inst2 = tlas.cast_rays(rays2)
+        assert bool(h2.hit[0]) and int(inst2[0]) == 1
+
+    def test_refit_parity_vs_brute(self):
+        tlas = build_three_spheres()
+        tlas.set_transform(0, rot_y(1.2, (-2, 1, 0)))
+        tlas.set_transform(2, scale(1.5, (2.5, -0.5, 1)))
+        tlas.refit_tlas()
+        rng = np.random.default_rng(3)
+        o = rng.uniform(-5, 5, (128, 3)).astype(np.float32)
+        d = rng.normal(size=(128, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        rays = make_rays(o, d)
+        hits, _, _ = tlas.cast_rays(rays)
+        ref, _ = cast_rays_brute(rays, tlas.flat.tris)
+        np.testing.assert_array_equal(
+            np.asarray(hits.prim_id), np.asarray(ref.prim_id)
+        )
+        np.testing.assert_allclose(np.asarray(hits.t), np.asarray(ref.t), rtol=1e-6)

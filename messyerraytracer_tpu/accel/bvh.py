@@ -71,7 +71,8 @@ class _BuildNode:
     end: int
 
 
-def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray) -> BVH:
+def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
+              use_native: bool = True) -> BVH:
     """Build a binned-SAH BVH over triangles given by vertex arrays (N,3).
 
     Returns a ``BVH`` whose ``tri_order`` permutation the caller must apply
@@ -86,10 +87,36 @@ def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray) -> BVH:
     v0 = np.asarray(v0, np.float32)
     v1 = np.asarray(v1, np.float32)
     v2 = np.asarray(v2, np.float32)
+    if use_native:
+        from ..native import native_build_bvh
+
+        res = native_build_bvh(v0, v1, v2)
+        if res is not None:
+            node_min, node_max, left_first, count, depth, order, num = res
+            return _finalize_bvh(
+                node_min, node_max, left_first, count, depth, order
+            )
     tri_min = np.minimum(np.minimum(v0, v1), v2)
     tri_max = np.maximum(np.maximum(v0, v1), v2)
     centroid = (v0 + v1 + v2) * (1.0 / 3.0)
     return build_bvh_over_aabbs(tri_min, tri_max, centroid)
+
+
+def _finalize_bvh(node_min, node_max, left_first, count, depth, order) -> BVH:
+    """Assemble device arrays + per-depth level index lists."""
+    max_depth = int(depth.max()) if depth.size else 0
+    levels = tuple(
+        jnp.asarray(np.nonzero(depth == lvl)[0].astype(np.int32))
+        for lvl in range(max_depth + 1)
+    )
+    return BVH(
+        aabb_min=jnp.asarray(node_min),
+        aabb_max=jnp.asarray(node_max),
+        left_first=jnp.asarray(left_first),
+        count=jnp.asarray(count),
+        tri_order=jnp.asarray(order),
+        levels=levels,
+    )
 
 
 def build_bvh_over_aabbs(tri_min, tri_max, centroid) -> BVH:
@@ -221,21 +248,9 @@ def build_bvh_over_aabbs(tri_min, tri_max, centroid) -> BVH:
     finally:
         sys.setrecursionlimit(old_limit)
 
-    # Level index lists for the device-side refit (deepest first at use site).
-    d = depth_arr[:num_nodes]
-    max_depth = int(d.max())
-    levels = tuple(
-        jnp.asarray(np.nonzero(d == lvl)[0].astype(np.int32))
-        for lvl in range(max_depth + 1)
-    )
-
-    return BVH(
-        aabb_min=jnp.asarray(node_min[:num_nodes]),
-        aabb_max=jnp.asarray(node_max[:num_nodes]),
-        left_first=jnp.asarray(left_first[:num_nodes]),
-        count=jnp.asarray(count[:num_nodes]),
-        tri_order=jnp.asarray(order),
-        levels=levels,
+    return _finalize_bvh(
+        node_min[:num_nodes], node_max[:num_nodes], left_first[:num_nodes],
+        count[:num_nodes], depth_arr[:num_nodes], order,
     )
 
 

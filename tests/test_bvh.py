@@ -87,6 +87,49 @@ class TestBuild:
         assert BVH_BINS == 12 and MAX_LEAF_SIZE == 4
 
 
+class TestNativeBuilder:
+    def test_native_available_and_fast(self):
+        from messyerraytracer_tpu.native import get_native_lib
+
+        assert get_native_lib() is not None, "g++ toolchain expected in CI"
+
+    def test_native_structure_invariants(self):
+        s = meshes.random_soup(3000, extent=5.0, seed=8)
+        bvh = build_bvh(s[:, 0], s[:, 1], s[:, 2], use_native=True)
+        n = s.shape[0]
+        count = np.asarray(bvh.count)
+        lf = np.asarray(bvh.left_first)
+        assert bvh.num_nodes <= 2 * n - 1
+        assert sorted(np.asarray(bvh.tri_order).tolist()) == list(range(n))
+        leaf = count > 0
+        assert count[leaf].max() <= MAX_LEAF_SIZE
+        covered = np.zeros(n, bool)
+        for i in np.nonzero(leaf)[0]:
+            sl = slice(lf[i], lf[i] + count[i])
+            assert not covered[sl].any()
+            covered[sl] = True
+        assert covered.all()
+
+    def test_native_cast_parity(self):
+        s = meshes.random_soup(3000, extent=5.0, seed=8)
+        scene = build_scene_from_tri_array(s)  # uses native by default
+        rays = random_rays(256, seed=21, extent=6.0)
+        hb, _ = scene.cast_rays(rays)
+        hr, _ = cast_rays_brute(rays, scene.tris)
+        np.testing.assert_array_equal(
+            np.asarray(hb.prim_id), np.asarray(hr.prim_id)
+        )
+        np.testing.assert_allclose(np.asarray(hb.t), np.asarray(hr.t), rtol=1e-6)
+
+    def test_native_quality_comparable_to_python(self):
+        # the trees may differ in FP tie-breaks but SAH quality must match
+        s = meshes.random_soup(4096, extent=10.0, seed=1)
+        bn = build_bvh(s[:, 0], s[:, 1], s[:, 2], use_native=True)
+        bp = build_bvh(s[:, 0], s[:, 1], s[:, 2], use_native=False)
+        cn, cp = sah_cost(bn), sah_cost(bp)
+        assert cn < cp * 1.1  # within 10%
+
+
 class TestTraversalParity:
     @pytest.mark.parametrize("seed", [0, 1])
     def test_sphere_parity_random_rays(self, seed):

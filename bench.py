@@ -33,20 +33,31 @@ def main():
     from messyerraytracer_tpu.scene.scene import build_scene_from_tri_array
     from messyerraytracer_tpu.utils import meshes
 
-    # ---- scene: ~100K tris (BASELINE config #2 scale) ------------------
-    n_target = 100_000
-    soup = meshes.random_soup(
-        n_target - 960, extent=8.0, tri_size=0.25, seed=42
-    )
-    sphere = meshes.uv_sphere(1.5, 16, 32)  # structured island in the soup
-    tris = np.concatenate([soup, sphere])
+    # ---- scene: ~100K tris, structured like a real demo asset ----------
+    # (BASELINE config #2 is "a ~100K-tri demo asset" — a surface mesh, not
+    # a random soup; mixed terrain + dense sphere + box buildings)
+    g = meshes.plane(40.0, y=0.0, subdiv=158)  # ~50K terrain tris
+    g[:, :, 1] = (np.sin(g[:, :, 0] * 0.6) * np.cos(g[:, :, 2] * 0.5)) * 1.5
+    sphere = meshes.uv_sphere(4.0, 112, 112, center=(0, 6, 0))  # ~25K
+    rng = np.random.default_rng(7)
+    boxes = []
+    for _ in range(2000):  # ~24K tris of "buildings"
+        c = rng.uniform(-18, 18, 2)
+        h = rng.uniform(0.5, 4.0)
+        boxes.append(
+            meshes.box(
+                (rng.uniform(0.5, 2), h, rng.uniform(0.5, 2)),
+                center=(c[0], h / 2, c[1]),
+            )
+        )
+    tris = np.concatenate([g, sphere] + boxes)
     t0 = time.time()
     scene = build_scene_from_tri_array(tris)
     build_s = time.time() - t0
 
     # ---- rays: one 1024x768 frame of coherent primary rays -------------
     w, h = 1024, 768
-    cam = mrt.CameraParams.look_at((0, 0, 24), (0, 0, 0), fov_degrees=60.0)
+    cam = mrt.CameraParams.look_at((0, 14, 30), (0, 2, 0), fov_degrees=60.0)
     rays = mrt.generate_rays(cam, w, h)
     perm = jnp.asarray(raster_block_permutation(w, h, 32))
     rays = Rays(

@@ -43,6 +43,8 @@ class BVH:
     left_first: (M,)   int32 — internal: right-child index; leaf: first tri slot
     count:      (M,)   int32 — 0 for internal nodes, leaf triangle count otherwise
     tri_order:  (N,)   int32 — tri slot -> original triangle index permutation
+    split_axis: (M,)   int32 — SAH split axis per internal node (0 on leaves);
+                used for the packet kernel's dir-sign child ordering
     levels:     tuple of int32 index arrays, one per tree depth (root level
                 first); used by the level-synchronous refit.  Stored as
                 traced pytree leaves (NOT static metadata) so jit calls
@@ -54,6 +56,7 @@ class BVH:
     left_first: jnp.ndarray
     count: jnp.ndarray
     tri_order: jnp.ndarray
+    split_axis: jnp.ndarray
     levels: tuple
 
     @property
@@ -92,9 +95,10 @@ def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
 
         res = native_build_bvh(v0, v1, v2)
         if res is not None:
-            node_min, node_max, left_first, count, depth, order, num = res
+            (node_min, node_max, left_first, count, depth, axis, order,
+             num) = res
             return _finalize_bvh(
-                node_min, node_max, left_first, count, depth, order
+                node_min, node_max, left_first, count, depth, axis, order
             )
     tri_min = np.minimum(np.minimum(v0, v1), v2)
     tri_max = np.maximum(np.maximum(v0, v1), v2)
@@ -102,11 +106,21 @@ def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
     return build_bvh_over_aabbs(tri_min, tri_max, centroid)
 
 
-def _finalize_bvh(node_min, node_max, left_first, count, depth, order) -> BVH:
-    """Assemble device arrays + per-depth level index lists."""
+def _finalize_bvh(node_min, node_max, left_first, count, depth, axis,
+                  order) -> BVH:
+    """Assemble device arrays + per-depth level index lists.
+
+    Level index arrays ship to the device as ONE concatenated transfer and
+    are sliced into views — per-level transfers would pay tunneled-device
+    put latency dozens of times per build.
+    """
     max_depth = int(depth.max()) if depth.size else 0
+    sort_key = np.argsort(depth, kind="stable").astype(np.int32)
+    counts = np.bincount(depth, minlength=max_depth + 1)
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    all_levels = jnp.asarray(sort_key)  # one device put
     levels = tuple(
-        jnp.asarray(np.nonzero(depth == lvl)[0].astype(np.int32))
+        all_levels[offsets[lvl]:offsets[lvl + 1]]
         for lvl in range(max_depth + 1)
     )
     return BVH(
@@ -115,6 +129,7 @@ def _finalize_bvh(node_min, node_max, left_first, count, depth, order) -> BVH:
         left_first=jnp.asarray(left_first),
         count=jnp.asarray(count),
         tri_order=jnp.asarray(order),
+        split_axis=jnp.asarray(axis),
         levels=levels,
     )
 
@@ -141,6 +156,7 @@ def build_bvh_over_aabbs(tri_min, tri_max, centroid) -> BVH:
     left_first = np.zeros(max_nodes, np.int32)
     count = np.zeros(max_nodes, np.int32)
     depth_arr = np.zeros(max_nodes, np.int32)
+    axis_arr = np.zeros(max_nodes, np.int32)
     num_nodes = 0
 
     def surface_area(bmin, bmax):
@@ -213,6 +229,7 @@ def build_bvh_over_aabbs(tri_min, tri_max, centroid) -> BVH:
         if best_axis < 0:
             # Degenerate centroids: median split on the longest AABB axis.
             best_axis = int(np.argmax(bmax - bmin))
+            axis_arr[node] = best_axis
             key = cent[:, best_axis]
             mid_local = cnt // 2
             part = np.argpartition(key, mid_local)
@@ -234,6 +251,7 @@ def build_bvh_over_aabbs(tri_min, tri_max, centroid) -> BVH:
                 mid = start + mid_local
 
         count[node] = 0
+        axis_arr[node] = best_axis
         emit(start, mid, depth + 1)                     # left child = node+1
         right = emit(mid, end, depth + 1)
         left_first[node] = right                        # store right child
@@ -250,7 +268,8 @@ def build_bvh_over_aabbs(tri_min, tri_max, centroid) -> BVH:
 
     return _finalize_bvh(
         node_min[:num_nodes], node_max[:num_nodes], left_first[:num_nodes],
-        count[:num_nodes], depth_arr[:num_nodes], order,
+        count[:num_nodes], depth_arr[:num_nodes], axis_arr[:num_nodes],
+        order,
     )
 
 

@@ -4,11 +4,11 @@ Design (TPU-first, not a port): the reference parallelizes one *thread per
 ray* with a per-thread stack (bvh_traverse.comp.glsl:157-161) — on a TPU
 that shape is hostile (per-lane gathers, divergent control flow).  Instead we
 traverse *tiles of rays* (8x128 = 1024 each, coherence-sorted) in lockstep
-against shared DFS stacks in SMEM:
+against a shared DFS stack in SMEM:
 
-  * scalar control flow (stack pointers, node ids) lives in SMEM/registers,
+  * scalar control flow (stack pointer, node ids) lives in SMEM/registers,
   * every AABB slab test / Moller-Trumbore runs as a dense (8,128) VPU op
-    over a whole tile with node/triangle data broadcast from scalars,
+    over the whole tile with node/triangle data broadcast from scalars,
   * one wide node per fetch = both children's AABBs (see kernels/wide.py),
     fetched by dynamic-sublane row load + dynamic lane rotate + scalar reads,
   * front-to-back ordering per tile: the child whose minimum entry-t over
@@ -19,18 +19,18 @@ against shared DFS stacks in SMEM:
   * leaves are 4 dense MT tests (padding tris have zero edges and
     self-reject on the determinant epsilon).
 
-**Latency hiding — the key TPU trick.** A single traversal is a serial
-dependency chain: each pop's branch target comes from reductions + SMEM
-writes of the previous pop, so one tile's walk cannot pipeline.  The kernel
-therefore interleaves N_SLOTS *independent* tile traversals in one program:
-their chains overlap, filling the vector units while other slots wait on
-scalar/reduction latency.  Idle slots (empty stack) pop a NaN-box dummy node
-which tests false everywhere and pushes nothing (the NaN-sentinel trick of
-gpu_ray_caster.cpp:263-268).
+**Branch-free pops + unrolling — the latency tricks.**  A traversal is a
+serial dependency chain: each pop's target comes from SMEM writes and
+reductions of the previous pop, so branchy code cannot pipeline (measured:
+a lax.cond leaf/internal split serializes the whole body).  Instead every
+pop unconditionally fetches BOTH a node row and a leaf row — one of them a
+never-hit dummy (NaN boxes / zero-edge triangles, the NaN-sentinel trick of
+gpu_ray_caster.cpp:263-268) — so the body is straight-line vector code, and
+UNROLL pops are processed per loop iteration so their fetch/compute chains
+overlap (the TPU answer to GPU warp-level latency hiding).
 
 This is 1024-wide packet traversal (the reference's 4-wide RayPacket4,
-src/simd/ray_packet.h, scaled to the VPU) x N_SLOTS-way software pipelining
-(the TPU answer to the GPU's warp-level latency hiding).
+src/simd/ray_packet.h, scaled to the VPU) with software pipelining.
 
 Stats note: packet traversal shares node visits across a tile, so
 ``bvh_nodes_visited`` counts tile-level pops (an upper bound per ray);
@@ -65,64 +65,84 @@ from .wide import (
     WideScene,
 )
 
-SROWS = 8                      # sublane rows per tile slot = one vreg
-# Interleaved independent tile traversals. Measured on v5e: lax.cond branches
-# serialize, so interleaving adds overhead instead of hiding latency — keep 1
-# until the unified branch-free node format lands.
-N_SLOTS = 1
-KSTACK = 64                    # per-slot DFS stack depth (README.md:131)
+SROWS = 8                      # sublane rows per ray tile = one vreg
+N_SLOTS = 2                    # interleaved independent tile traversals
+KSTACK = 64                    # DFS stack depth (README.md:131)
 _BIG = 3.0e38  # python float: jnp scalars would be captured consts in the kernel
 
 
 def _traverse_kernel(
     ox, oy, oz, dx, dy, dz, tmn, tmx,          # ray refs (n_slots*8, 128)
-    nodes_ref, leaf_ref,                        # scene refs (VMEM, full)
+    nodes_hbm, leaf_hbm,                        # scene refs (HBM, full)
     t_out, slot_out, u_out, v_out, tt_out, pops_out,
-    stack_ref, mscr,                            # scratch
-    *, any_hit: bool, n_slots: int, dummy_enc: int,
+    stack_ref, nodes_ref, leaf_ref, sems,       # scratch
+    *, any_hit: bool, n_slots: int, dummy_enc: int, dummy_leaf: int,
 ):
     shape = (SROWS, 128)
+
+    # Stage the scene into VMEM once: scratch persists across grid steps,
+    # so only the first tile pays the HBM->VMEM copy (rather than every
+    # step re-staging megabytes of nodes/triangles).
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        c1 = pltpu.make_async_copy(nodes_hbm, nodes_ref, sems.at[0])
+        c2 = pltpu.make_async_copy(leaf_hbm, leaf_ref, sems.at[1])
+        c1.start()
+        c2.start()
+        c1.wait()
+        c2.wait()
 
     def safe_inv(x):
         small = jnp.abs(x) < INV_DIR_EPS
         sign = jnp.where(x < 0.0, -1.0, 1.0)
         return jnp.where(small, sign / INV_DIR_EPS, 1.0 / jnp.where(small, 1.0, x))
 
-    # Per-slot ray tiles (static row windows) ---------------------------
+    # Per-slot ray tiles (static row windows); each slot traverses its own
+    # 1024-ray tile with its own SMEM stack row, so the slots' serial
+    # reduction/push chains overlap in the schedule.
     O, D, INV, TMIN, TMAX = [], [], [], [], []
-    for s in range(n_slots):
-        r0 = s * SROWS
-        o = (ox[r0:r0 + SROWS, :], oy[r0:r0 + SROWS, :], oz[r0:r0 + SROWS, :])
-        d = (dx[r0:r0 + SROWS, :], dy[r0:r0 + SROWS, :], dz[r0:r0 + SROWS, :])
-        O.append(o)
-        D.append(d)
-        INV.append((safe_inv(d[0]), safe_inv(d[1]), safe_inv(d[2])))
-        TMIN.append(tmn[r0:r0 + SROWS, :])
-        TMAX.append(tmx[r0:r0 + SROWS, :])
-        stack_ref[s, 0] = jnp.int32(0)  # root = wide node 0 (internal)
+    for si in range(n_slots):
+        r0 = si * SROWS
+        O.append((ox[r0:r0+SROWS, :], oy[r0:r0+SROWS, :], oz[r0:r0+SROWS, :]))
+        D.append((dx[r0:r0+SROWS, :], dy[r0:r0+SROWS, :], dz[r0:r0+SROWS, :]))
+        INV.append(tuple(safe_inv(x) for x in D[si]))
+        TMIN.append(tmn[r0:r0+SROWS, :])
+        TMAX.append(tmx[r0:r0+SROWS, :])
+        stack_ref[si, 0] = jnp.int32(0)  # root (internal, leaf bit 0)
 
-    def slot_step(s, sp, cap, best_t, slot, uu, vv, tt):
-        """One pop for interleave slot ``s`` (dummy no-op pop when idle)."""
-        o, d, inv = O[s], D[s], INV[s]
-        t_min, t_max = TMIN[s], TMAX[s]
+    # Per-tile dominant direction sign per axis: drives front-to-back child
+    # ordering without per-node reductions (the packet analogue of the
+    # reference's per-ray dir_sign ordering, src/core/ray.h:92-95 +
+    # README.md:131).
+    SIGN = []
+    for si in range(n_slots):
+        SIGN.append(tuple(jnp.sum(D[si][a]) >= 0.0 for a in range(3)))
 
+    def pop_one(si, sp, cap, best_t, slot, uu, vv, tt, pops):
+        """One pop for interleave slot ``si``.  The leaf/internal split is
+        a lax.cond — measured on v5e this beats a branch-free merged body
+        (the dummy-side work costs more than the branch).  Node/leaf fields
+        are extracted directly from the rolled row value (static lanes) —
+        no scratch round trip, so different slots' pops are independent."""
+        o, d, inv = O[si], D[si], INV[si]
+        t_min, t_max = TMIN[si], TMAX[si]
         active = sp > 0
-        e = jnp.where(active, stack_ref[s, jnp.maximum(sp - 1, 0)],
+        e = jnp.where(active, stack_ref[si, jnp.maximum(sp - 1, 0)],
                       jnp.int32(dummy_enc))
         sp = jnp.maximum(sp - 1, 0)
+        pops = pops + active.astype(jnp.int32)
         idx = jax.lax.shift_right_logical(e, 1)
 
         def leaf_fn(args):
             sp, cap, best_t, slot, uu, vv, tt = args
             row = leaf_ref[pl.ds(idx // LEAVES_PER_ROW, 1), :]
-            rot = pltpu.roll(row, -(idx % LEAVES_PER_ROW) * LEAF_STRIDE, axis=1)
-            mscr[s, :] = rot[0, :]
+            rot = pltpu.roll(row, -(idx % LEAVES_PER_ROW) * LEAF_STRIDE,
+                             axis=1)
             for k in range(LEAF_CAP):
                 b = 9 * k
-                v0 = (mscr[s, b], mscr[s, b + 1], mscr[s, b + 2])
-                e1 = (mscr[s, b + 3], mscr[s, b + 4], mscr[s, b + 5])
-                e2 = (mscr[s, b + 6], mscr[s, b + 7], mscr[s, b + 8])
-                # Moller-Trumbore, scalar triangle broadcast vs ray tile
+                v0 = (rot[0, b], rot[0, b + 1], rot[0, b + 2])
+                e1 = (rot[0, b + 3], rot[0, b + 4], rot[0, b + 5])
+                e2 = (rot[0, b + 6], rot[0, b + 7], rot[0, b + 8])
                 pvx = d[1] * e2[2] - d[2] * e2[1]
                 pvy = d[2] * e2[0] - d[0] * e2[2]
                 pvz = d[0] * e2[1] - d[1] * e2[0]
@@ -150,45 +170,53 @@ def _traverse_kernel(
                 slot = jnp.where(valid, cand, slot)
                 uu = jnp.where(valid, u, uu)
                 vv = jnp.where(valid, v, vv)
-            tt = tt + mscr[s, 36].astype(jnp.int32)
+            tt = tt + rot[0, 36].astype(jnp.int32)
             cap = jnp.minimum(best_t, t_max)
             return sp, cap, best_t, slot, uu, vv, tt
 
         def internal_fn(args):
             sp, cap, best_t, slot, uu, vv, tt = args
             row = nodes_ref[pl.ds(idx // NODES_PER_ROW, 1), :]
-            rot = pltpu.roll(row, -(idx % NODES_PER_ROW) * NODE_STRIDE, axis=1)
-            mscr[s, :] = rot[0, :]
+            rot = pltpu.roll(row, -(idx % NODES_PER_ROW) * NODE_STRIDE,
+                             axis=1)
 
-            def slab(base):
-                """Tile slab test vs box at lanes [base, base+6).  Returns
-                min entry-t over hitting rays (BIG if none; NaN boxes never
-                hit)."""
+            def slab_hit(base):
                 tn = jnp.full(shape, -_BIG, jnp.float32)
                 tf = jnp.full(shape, _BIG, jnp.float32)
                 for a in range(3):
-                    t1 = (mscr[s, base + a] - o[a]) * inv[a]
-                    t2 = (mscr[s, base + 3 + a] - o[a]) * inv[a]
+                    t1 = (rot[0, base + a] - o[a]) * inv[a]
+                    t2 = (rot[0, base + 3 + a] - o[a]) * inv[a]
                     tn = jnp.maximum(tn, jnp.minimum(t1, t2))
                     tf = jnp.minimum(tf, jnp.maximum(t1, t2))
-                hit = (tf >= jnp.maximum(tn, 0.0)) & (tn <= cap)
-                return jnp.min(jnp.where(hit, tn, _BIG))
+                return (tf >= jnp.maximum(tn, 0.0)) & (tn <= cap)
 
-            lm = slab(0)
-            rm = slab(6)
-            lenc = mscr[s, 12].astype(jnp.int32)
-            renc = mscr[s, 13].astype(jnp.int32)
+            # ONE reduction for both children: bit-pack L hits above R
+            # hit counts (sums <= 1024 rays each, no carry between fields)
+            lhit = slab_hit(0)
+            rhit = slab_hit(6)
+            packed = lhit.astype(jnp.int32) * 65536 + rhit.astype(jnp.int32)
+            m = jnp.sum(packed)
+            any_l = m >= 65536
+            any_r = (m & 65535) > 0
 
-            # far child first so the near child pops first
-            l_near = lm <= rm
+            lenc = rot[0, 12].astype(jnp.int32)
+            renc = rot[0, 13].astype(jnp.int32)
+            axis = rot[0, 14].astype(jnp.int32)
+            # near child from the split axis + tile direction consensus:
+            # left child holds the lower-coordinate half, so it is near
+            # when the dominant direction along the axis is positive
+            sgn = SIGN[si]
+            l_near = jnp.where(
+                axis == 0, sgn[0], jnp.where(axis == 1, sgn[1], sgn[2])
+            )
             near_e = jnp.where(l_near, lenc, renc)
             far_e = jnp.where(l_near, renc, lenc)
-            near_h = jnp.where(l_near, lm, rm) < _BIG
-            far_h = jnp.where(l_near, rm, lm) < _BIG
+            near_h = jnp.where(l_near, any_l, any_r)
+            far_h = jnp.where(l_near, any_r, any_l)
 
-            stack_ref[s, jnp.minimum(sp, KSTACK - 1)] = far_e
+            stack_ref[si, jnp.minimum(sp, KSTACK - 1)] = far_e
             sp = sp + jnp.where(far_h & (sp < KSTACK), 1, 0)
-            stack_ref[s, jnp.minimum(sp, KSTACK - 1)] = near_e
+            stack_ref[si, jnp.minimum(sp, KSTACK - 1)] = near_e
             sp = sp + jnp.where(near_h & (sp < KSTACK), 1, 0)
             return sp, cap, best_t, slot, uu, vv, tt
 
@@ -196,13 +224,14 @@ def _traverse_kernel(
             (e & 1) == 1, leaf_fn, internal_fn,
             (sp, cap, best_t, slot, uu, vv, tt),
         )
-        return out, active.astype(jnp.int32)
+        sp, cap, best_t, slot, uu, vv, tt = out
+        return sp, cap, best_t, slot, uu, vv, tt, pops
 
     def cond(c):
         sps = c[0]
         alive = sps[0] > 0
-        for s in range(1, n_slots):
-            alive = alive | (sps[s] > 0)
+        for si in range(1, n_slots):
+            alive = alive | (sps[si] > 0)
         if any_hit:
             alive = alive & jnp.logical_not(c[8])
         return alive
@@ -211,22 +240,23 @@ def _traverse_kernel(
         sps, caps, bts, slots, uus, vvs, tts, pops, done = c
         sps, caps, bts = list(sps), list(caps), list(bts)
         slots, uus, vvs, tts = list(slots), list(uus), list(vvs), list(tts)
-        for s in range(n_slots):
-            (sps[s], caps[s], bts[s], slots[s], uus[s], vvs[s], tts[s]), act = \
-                slot_step(s, sps[s], caps[s], bts[s], slots[s], uus[s],
-                          vvs[s], tts[s])
-            pops = pops + act
+        for si in range(n_slots):
+            (sps[si], caps[si], bts[si], slots[si], uus[si], vvs[si],
+             tts[si], pops) = pop_one(
+                si, sps[si], caps[si], bts[si], slots[si], uus[si],
+                vvs[si], tts[si], pops,
+            )
         if any_hit:
             done = jnp.min(slots[0]) >= 0
-            for s in range(1, n_slots):
-                done = done & (jnp.min(slots[s]) >= 0)
+            for si in range(1, n_slots):
+                done = done & (jnp.min(slots[si]) >= 0)
         return (tuple(sps), tuple(caps), tuple(bts), tuple(slots),
                 tuple(uus), tuple(vvs), tuple(tts), pops, done)
 
     init = (
         tuple(jnp.int32(1) for _ in range(n_slots)),
-        tuple(jnp.minimum(jnp.full(shape, _BIG, jnp.float32), TMAX[s])
-              for s in range(n_slots)),
+        tuple(jnp.minimum(jnp.full(shape, _BIG, jnp.float32), TMAX[si])
+              for si in range(n_slots)),
         tuple(jnp.full(shape, _BIG, jnp.float32) for _ in range(n_slots)),
         tuple(jnp.full(shape, -1, jnp.int32) for _ in range(n_slots)),
         tuple(jnp.zeros(shape, jnp.float32) for _ in range(n_slots)),
@@ -239,14 +269,14 @@ def _traverse_kernel(
         cond, body, init
     )
 
-    for s in range(n_slots):
-        r0 = s * SROWS
-        found = slots[s] >= 0
-        t_out[r0:r0 + SROWS, :] = jnp.where(found, bts[s], T_MAX_DEFAULT)
-        slot_out[r0:r0 + SROWS, :] = slots[s]
-        u_out[r0:r0 + SROWS, :] = jnp.where(found, uus[s], 0.0)
-        v_out[r0:r0 + SROWS, :] = jnp.where(found, vvs[s], 0.0)
-        tt_out[r0:r0 + SROWS, :] = tts[s]
+    for si in range(n_slots):
+        r0 = si * SROWS
+        found = slots[si] >= 0
+        t_out[r0:r0+SROWS, :] = jnp.where(found, bts[si], T_MAX_DEFAULT)
+        slot_out[r0:r0+SROWS, :] = slots[si]
+        u_out[r0:r0+SROWS, :] = jnp.where(found, uus[si], 0.0)
+        v_out[r0:r0+SROWS, :] = jnp.where(found, vvs[si], 0.0)
+        tt_out[r0:r0+SROWS, :] = tts[si]
     pops_out[:, :] = jnp.full((n_slots * SROWS, 128), pops, jnp.int32)
 
 
@@ -258,13 +288,12 @@ def _on_tpu() -> bool:
 
 
 def _call_kernel(rfields, nodes, leaf_tris, *, any_hit, interpret, num_steps,
-                 n_slots, dummy_enc):
+                 n_slots, dummy_enc, dummy_leaf):
     grid = (num_steps,)
     rows = n_slots * SROWS
     ray_spec = pl.BlockSpec(
         (rows, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
-    full = pl.BlockSpec(memory_space=pltpu.VMEM)
     out_specs = (ray_spec,) * 6
     n_rows = num_steps * rows
     out_shape = (
@@ -277,17 +306,20 @@ def _call_kernel(rfields, nodes, leaf_tris, *, any_hit, interpret, num_steps,
     )
     kern = functools.partial(
         _traverse_kernel, any_hit=any_hit, n_slots=n_slots,
-        dummy_enc=dummy_enc,
+        dummy_enc=dummy_enc, dummy_leaf=dummy_leaf,
     )
+    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
     return pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[ray_spec] * 8 + [full, full],
+        in_specs=[ray_spec] * 8 + [hbm, hbm],
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
             pltpu.SMEM((n_slots, KSTACK), jnp.int32),
-            pltpu.VMEM((n_slots, 128), jnp.float32),
+            pltpu.VMEM(nodes.shape, jnp.float32),
+            pltpu.VMEM(leaf_tris.shape, jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(*rfields, nodes, leaf_tris)
@@ -356,6 +388,7 @@ def _cast_rays_wide_jit(
         rfields, scene.nodes, leaf_tris,
         any_hit=any_hit, interpret=interpret, num_steps=num_steps,
         n_slots=n_slots, dummy_enc=scene.dummy_enc,
+        dummy_leaf=scene.dummy_leaf,
     )
 
     t = t.reshape(-1)[:n]
@@ -412,3 +445,4 @@ def _mask_leaf_tris(scene: WideScene, query_mask: int) -> jnp.ndarray:
 # Back-compat aliases
 TILE_ROWS = SROWS
 TILE = SROWS * 128
+UNROLL = 1

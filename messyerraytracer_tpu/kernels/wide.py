@@ -10,7 +10,8 @@ Lane-packing: TPU VMEM rows are 128 lanes, and the only efficient dynamic
 lane access is a whole-row load + dynamic rotate (``pltpu.roll``).  So:
 
   * ``nodes``:     (NR, 128) f32 — 8 wide nodes per row, 16 lanes each:
-                   [Lmin.xyz, Lmax.xyz, Rmin.xyz, Rmax.xyz, Lenc, Renc, 0, 0]
+                   [Lmin.xyz, Lmax.xyz, Rmin.xyz, Rmax.xyz, Lenc, Renc,
+                    split_axis, 0]
                    enc = 2*ptr + is_leaf, float-encoded (exact, ptr < 2^23);
                    ptr = wide-node index (internal) or leaf index (leaf).
                    A trailing dummy node has NaN boxes (never hit — the
@@ -50,7 +51,7 @@ LEAF_STRIDE = 64
 LEAF_CAP = 4          # MAX_LEAF_SIZE
 
 
-@pytree_dataclass(meta_fields=("dummy_enc",))
+@pytree_dataclass(meta_fields=("dummy_enc", "dummy_leaf"))
 class WideScene:
     """Device arrays consumed by the Pallas traversal kernel."""
 
@@ -65,6 +66,7 @@ class WideScene:
     node_const: jnp.ndarray    # (...,) f32 constant tail for node gather
     leaf_const: jnp.ndarray    # (...,) f32 constant tail for leaf gather
     dummy_enc: int             # stack encoding of the never-hit dummy node
+    dummy_leaf: int            # index of the all-zero dummy leaf (no-op MT)
 
     @property
     def num_leaves(self) -> int:
@@ -119,11 +121,12 @@ def build_wide_scene(bvh: BVH, tris: Triangles, _np=None) -> WideScene:
 
     # --- node gather indices ------------------------------------------
     # node src = [amin.flat (3M), amax.flat (3M), node_const]
-    # node_const = [Lenc (W,), Renc (W,), 0.0, NaN]
+    # node_const = [Lenc (W,), Renc (W,), axis (W,), 0.0, NaN]
     cb = 6 * m
     lenc = np.zeros(num_wide, np.float32)
     renc = np.zeros(num_wide, np.float32)
-    zero_pos = cb + 2 * num_wide
+    waxis = np.zeros(num_wide, np.float32)
+    zero_pos = cb + 3 * num_wide
     nan_pos = zero_pos + 1
     nidx = np.full((num_wide, NODE_STRIDE), zero_pos, np.int64)
     nidx[-1, 0:12] = nan_pos  # dummy node
@@ -137,6 +140,7 @@ def build_wide_scene(bvh: BVH, tris: Triangles, _np=None) -> WideScene:
         nidx[0, 6:12] = nan_pos
         nidx[0, 12] = cb + 0
         nidx[0, 13] = cb + num_wide + 0
+        nidx[0, 14] = cb + 2 * num_wide + 0
         lenc[0] = 1.0  # leaf 0
         renc[0] = 1.0
     else:
@@ -150,6 +154,8 @@ def build_wide_scene(bvh: BVH, tris: Triangles, _np=None) -> WideScene:
         nidx[:ni, 9:12] = 3 * m + 3 * r[:, None] + axes[None, :]
         nidx[:ni, 12] = cb + w
         nidx[:ni, 13] = cb + num_wide + w
+        nidx[:ni, 14] = cb + 2 * num_wide + w
+        waxis[:ni] = np.asarray(bvh.split_axis)[internal].astype(np.float32)
         # child meta packed to ONE float each: enc = 2*ptr + is_leaf
         # (exact for ptr < 2^23)
         lptr = np.where(is_leaf[l], leaf_of[l], wide_of[l])
@@ -158,7 +164,7 @@ def build_wide_scene(bvh: BVH, tris: Triangles, _np=None) -> WideScene:
         renc[:ni] = 2.0 * rptr + is_leaf[r]
 
     node_const = np.concatenate(
-        [lenc, renc, [0.0], [np.nan]]
+        [lenc, renc, waxis, [0.0], [np.nan]]
     ).astype(np.float32)
     node_idx = _pack_idx(nidx, NODES_PER_ROW, NODE_STRIDE, zero_pos)
 
@@ -184,6 +190,10 @@ def build_wide_scene(bvh: BVH, tris: Triangles, _np=None) -> WideScene:
     leaf_const = np.concatenate(
         [cnt[leaves].astype(np.float32), [0.0]]
     ).astype(np.float32)
+    # +1 all-zero dummy leaf: branch-free kernel pops fetch it when the
+    # popped entry is an internal node (zero edges -> MT self-rejects)
+    lidx = np.concatenate([lidx[:num_leaf],
+                           np.full((1, LEAF_STRIDE), zero2, np.int64)])
     leaf_idx = _pack_idx(lidx, LEAVES_PER_ROW, LEAF_STRIDE, zero2)
 
     # --- materialize via the same gather the device refresh uses -------
@@ -216,6 +226,7 @@ def build_wide_scene(bvh: BVH, tris: Triangles, _np=None) -> WideScene:
         node_const=jnp.asarray(node_const),
         leaf_const=jnp.asarray(leaf_const),
         dummy_enc=2 * (num_wide - 1),
+        dummy_leaf=num_leaf,
     )
 
 

@@ -69,6 +69,7 @@ def get_native_lib():
                 np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
                 np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
                 np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+                np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
             ]
             _LIB = lib
         except Exception:
@@ -79,8 +80,8 @@ def get_native_lib():
 def native_build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray):
     """Run the C++ binned-SAH build.
 
-    Returns (node_min, node_max, left_first, count, depth, tri_order,
-    num_nodes) or None if the native library is unavailable.
+    Returns (node_min, node_max, left_first, count, depth, axis,
+    tri_order, num_nodes) or None if the native library is unavailable.
     """
     lib = get_native_lib()
     if lib is None:
@@ -95,14 +96,15 @@ def native_build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray):
     left_first = np.zeros(m, np.int32)
     count = np.zeros(m, np.int32)
     depth = np.zeros(m, np.int32)
+    axis = np.zeros(m, np.int32)
     tri_order = np.zeros(n, np.int32)
     num = lib.mrt_build_bvh(
         n, v0, v1, v2, node_min, node_max, left_first, count, depth,
-        tri_order,
+        axis, tri_order,
     )
     if num <= 0:
         return None
     return (
         node_min[:num], node_max[:num], left_first[:num], count[:num],
-        depth[:num], tri_order, int(num),
+        depth[:num], axis[:num], tri_order, int(num),
     )

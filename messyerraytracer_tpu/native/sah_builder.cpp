@@ -37,6 +37,7 @@ struct BuildContext {
   int32_t* left_first;    // (2N-1,)
   int32_t* count;         // (2N-1,)
   int32_t* depth;         // (2N-1,)
+  int32_t* axis;          // (2N-1,) split axis (0 for leaves)
   int32_t num_nodes = 0;
   std::vector<int32_t> scratch;  // partition buffer
 };
@@ -154,6 +155,7 @@ int32_t emit(BuildContext& ctx, int32_t start, int32_t end, int32_t depth) {
   }
 
   int32_t mid;
+  int32_t used_axis = best_axis;
   if (best_axis < 0) {
     // degenerate centroids: median split on the longest AABB axis
     int axis = 0;
@@ -168,6 +170,7 @@ int32_t emit(BuildContext& ctx, int32_t start, int32_t end, int32_t depth) {
         [&](int32_t x, int32_t y) {
           return ctx.centroid[3 * x + axis] < ctx.centroid[3 * y + axis];
         });
+    used_axis = axis;
   } else {
     // stable partition by bin (keeps relative order like numpy concat)
     const float scale = static_cast<float>(kBins) / (cmax[best_axis] - cmin[best_axis]);
@@ -198,6 +201,7 @@ int32_t emit(BuildContext& ctx, int32_t start, int32_t end, int32_t depth) {
   }
 
   ctx.count[node] = 0;
+  ctx.axis[node] = used_axis;
   emit(ctx, start, mid, depth + 1);                 // left child = node+1
   const int32_t right_idx = emit(ctx, mid, end, depth + 1);
   ctx.left_first[node] = right_idx;                 // store right child
@@ -215,6 +219,7 @@ int32_t mrt_build_bvh(
     const float* v0, const float* v1, const float* v2,   // (N,3) each
     float* node_min, float* node_max,                    // (2N-1,3)
     int32_t* left_first, int32_t* count, int32_t* depth, // (2N-1,)
+    int32_t* axis,                                       // (2N-1,)
     int32_t* tri_order) {                                // (N,)
   if (n <= 0) return -1;
 
@@ -241,6 +246,7 @@ int32_t mrt_build_bvh(
   ctx.left_first = left_first;
   ctx.count = count;
   ctx.depth = depth;
+  ctx.axis = axis;
   ctx.scratch.reserve(n);
 
   emit(ctx, 0, n, 0);

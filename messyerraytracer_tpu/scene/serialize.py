@@ -41,6 +41,7 @@ def save_scene(path: str, scene: RayScene) -> None:
         "bvh_lf": np.asarray(scene.bvh.left_first),
         "bvh_cnt": np.asarray(scene.bvh.count),
         "bvh_order": np.asarray(scene.bvh.tri_order),
+        "bvh_axis": np.asarray(scene.bvh.split_axis),
         "bvh_num_levels": np.int32(len(scene.bvh.levels)),
     }
     for i, lvl in enumerate(scene.bvh.levels):
@@ -58,6 +59,7 @@ def save_scene(path: str, scene: RayScene) -> None:
             wide_nconst=np.asarray(scene.wide.node_const),
             wide_lconst=np.asarray(scene.wide.leaf_const),
             wide_dummy=np.int32(scene.wide.dummy_enc),
+            wide_dummy_leaf=np.int32(scene.wide.dummy_leaf),
         )
     np.savez_compressed(path, **arrs)
 
@@ -77,7 +79,8 @@ def load_scene(path: str) -> RayScene:
     bvh = BVH(
         aabb_min=jnp.asarray(z["bvh_min"]), aabb_max=jnp.asarray(z["bvh_max"]),
         left_first=jnp.asarray(z["bvh_lf"]), count=jnp.asarray(z["bvh_cnt"]),
-        tri_order=jnp.asarray(z["bvh_order"]), levels=levels,
+        tri_order=jnp.asarray(z["bvh_order"]),
+        split_axis=jnp.asarray(z["bvh_axis"]), levels=levels,
     )
     wide = None
     if "wide_nodes" in z:
@@ -93,6 +96,7 @@ def load_scene(path: str) -> RayScene:
             node_const=jnp.asarray(z["wide_nconst"]),
             leaf_const=jnp.asarray(z["wide_lconst"]),
             dummy_enc=int(z["wide_dummy"]),
+            dummy_leaf=int(z["wide_dummy_leaf"]),
         )
     return RayScene(
         tris=tris, bvh=bvh, wide=wide,

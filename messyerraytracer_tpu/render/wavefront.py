@@ -1,0 +1,285 @@
+"""Wavefront path tracer — TPU rewrite of ``GPUPathTracer``.
+
+The reference runs 4 compute kernels per bounce on GPU-resident buffers
+with no host round trip until the final accumulation
+(src/modules/graphics/gpu_path_tracer.cpp:197-283):
+
+    Generate -> [ Extend -> Shade -> Connect ] x bounces -> finalize-Shade
+
+Here each kernel is a jitted stage over HBM-resident SoA path-state arrays
+and the compute barriers between dispatches are just XLA dataflow
+(SURVEY.md §2.10: kernel-to-kernel handoff is dataflow, not barriers).
+
+Protocol details mirrored from the shaders:
+
+  * **deferred NEE** (pt_shade.comp.glsl:598-635): Shade at bounce b
+    *stores* the light contribution as ``pending_nee`` without adding it;
+    Connect then traces the shadow ray; the NEXT Shade (or the finalize
+    pass at bounce > max_bounces) multiplies the pending contribution by
+    Connect's visibility and accumulates it.
+  * **stochastic single-light NEE** (pt_shade.comp.glsl:697-717): one
+    uniformly-picked light per bounce, contribution multiplied by the
+    light count to stay unbiased.
+  * per-pixel PCG32 seeded exactly like the CPU path
+    (pt_generate.comp.glsl:94-103 mirrors path_state.h:84-93).
+  * Russian roulette from bounce 2 (pt_shade.comp.glsl:753-764).
+  * finalize applies tonemap + gamma (pt_shade.comp.glsl:613-616).
+
+The iterative CPU-style tracer (render/pathtrace.py) applies NEE in the
+same bounce instead; both converge to the same estimator in expectation —
+parity is statistical, covered by tests comparing mean images.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ..core.types import Rays
+from ..utils.struct import pytree_dataclass
+from .pathtrace import (
+    SHADOW_EPS,
+    pcg32_float,
+    pcg32_seed,
+    sample_bounce,
+)
+from .shade import (
+    EnvironmentData,
+    Lights,
+    Materials,
+    cook_torrance_multi_light,
+    distribution_ggx,
+    extract_surface,
+    fresnel_schlick,
+    geometry_smith_ggx,
+    light_sample,
+    sky_color,
+    to_srgb,
+    tonemap,
+)
+
+PI = 3.14159265358979
+
+
+@pytree_dataclass
+class WavefrontState:
+    """GPU-resident path state (GPUPathStatePacked analogue,
+    api/gpu_types.h): throughput/accum + the deferred-NEE slot + RNG +
+    current and shadow rays, all (N,...) SoA."""
+
+    throughput: jnp.ndarray    # (N, 3)
+    accum: jnp.ndarray         # (N, 3)
+    pending_nee: jnp.ndarray   # (N, 3) deferred light contribution
+    rng: jnp.ndarray           # (N,) uint32 PCG32 state
+    active: jnp.ndarray        # (N,) bool
+    ray: Rays                  # current extension rays
+    shadow_ray: Rays           # current connect rays
+    shadow_valid: jnp.ndarray  # (N,) bool — pending_nee wants visibility
+    visibility: jnp.ndarray    # (N,) bool — Connect's result
+
+
+class WavefrontPathTracer:
+    """4-stage wavefront integrator over a scene with cast/any-hit."""
+
+    def __init__(self, scene, lights: Lights | None, env: EnvironmentData,
+                 materials: Materials, mat_id_of_prim=None):
+        self.scene = scene
+        self.lights = lights
+        self.env = env
+        self.materials = materials
+        self.mat_id_of_prim = mat_id_of_prim
+
+    def _mat_ids(self, hits):
+        pid = jnp.maximum(hits.prim_id, 0)
+        if self.mat_id_of_prim is not None:
+            return self.mat_id_of_prim[pid]
+        return jnp.zeros_like(pid)
+
+    # ---- Generate (pt_generate.comp.glsl:109-151) ---------------------
+    def generate(self, rays: Rays, sample_index: int) -> WavefrontState:
+        n = rays.count
+        pixel = jnp.arange(n, dtype=jnp.uint32)
+        rng = pcg32_seed(
+            pixel * jnp.uint32(1009)
+            + jnp.uint32(sample_index) * jnp.uint32(6529)
+            + jnp.uint32(7)
+        )
+        z3 = jnp.zeros((n, 3), jnp.float32)
+        f = jnp.zeros((n,), bool)
+        return WavefrontState(
+            throughput=jnp.ones((n, 3), jnp.float32),
+            accum=z3,
+            pending_nee=z3,
+            rng=rng,
+            active=jnp.ones((n,), bool),
+            ray=rays,
+            shadow_ray=rays,
+            shadow_valid=f,
+            visibility=f,
+        )
+
+    # ---- Extend (cwbvh RAY_MODE=0 dispatch) ---------------------------
+    def extend(self, state: WavefrontState):
+        cast = Rays(
+            origin=state.ray.origin,
+            direction=state.ray.direction,
+            t_min=state.ray.t_min,
+            t_max=jnp.where(state.active, state.ray.t_max, -1.0),
+        )
+        hits, _ = self.scene.cast_rays(cast)
+        return hits
+
+    # ---- Connect (cwbvh RAY_MODE=1 dispatch) --------------------------
+    def connect(self, state: WavefrontState) -> WavefrontState:
+        occluded = self.scene.any_hit_rays(state.shadow_ray)
+        return state.replace(visibility=~occluded & state.shadow_valid)
+
+    # ---- Shade (pt_shade.comp.glsl:588-775) ---------------------------
+    def shade(self, state: WavefrontState, hits, bounce: int,
+              max_bounces: int) -> WavefrontState:
+        n = state.rng.shape[0]
+        # 1) resolve the PREVIOUS bounce's deferred NEE with Connect's
+        #    visibility (pt_shade.comp.glsl:598-635)
+        accum = state.accum + jnp.where(
+            state.visibility[:, None], state.pending_nee, 0.0
+        )
+
+        hit = hits.hit & state.active
+        sky = sky_color(state.ray.direction, self.env)
+        accum = accum + jnp.where(
+            (state.active & ~hits.hit)[:, None], state.throughput * sky, 0.0
+        )
+
+        surf = extract_surface(
+            hits, state.ray.direction, self.materials, self._mat_ids(hits)
+        )
+        accum = accum + jnp.where(
+            hit[:, None], state.throughput * surf.emission, 0.0
+        )
+
+        # 2) stochastic single-light NEE -> store as pending, build shadow
+        #    ray (pt_shade.comp.glsl:697-717)
+        rng = state.rng
+        pending = jnp.zeros((n, 3), jnp.float32)
+        shadow_valid = jnp.zeros((n,), bool)
+        shadow_ray = state.shadow_ray
+        if self.lights is not None and self.lights.count > 0:
+            rng, u_pick = pcg32_float(rng)
+            li_pick = jnp.minimum(
+                (u_pick * self.lights.count).astype(jnp.int32),
+                self.lights.count - 1,
+            )
+            # evaluate each light's contribution, select the picked one
+            contribs = []
+            ldirs = []
+            dists = []
+            valids = []
+            for li in range(self.lights.count):
+                one = self._light_contrib(surf, li)
+                contribs.append(one[0])
+                ldirs.append(one[1])
+                dists.append(one[2])
+                valids.append(one[3])
+            picks2 = [(li_pick == li)[:, None]
+                      for li in range(self.lights.count)]
+            contrib = jnp.select(picks2, contribs)
+            ldir = jnp.select(picks2, ldirs)
+            dist = jnp.select(
+                [li_pick == li for li in range(self.lights.count)], dists
+            )
+            lvalid = jnp.select(
+                [li_pick == li for li in range(self.lights.count)], valids
+            )
+            # x light_count to unbias the uniform pick
+            pending = state.throughput * contrib * float(self.lights.count)
+            shadow_valid = hit & lvalid
+            is_dir = self.lights.type[li_pick] == 0
+            tmax = jnp.where(is_dir, 1e30, dist - 2.0 * SHADOW_EPS)
+            shadow_ray = Rays(
+                origin=hits.position + surf.normal * SHADOW_EPS,
+                direction=ldir,
+                t_min=jnp.full((n,), SHADOW_EPS, jnp.float32),
+                t_max=jnp.where(shadow_valid, tmax, -1.0),
+            )
+            pending = jnp.where(shadow_valid[:, None], pending, 0.0)
+
+        # 3) sample the bounce (pt_shade.comp.glsl:503-543)
+        rng, bdir, bweight, bvalid = sample_bounce(surf, rng)
+        active = hit & bvalid
+        throughput = jnp.where(
+            active[:, None], state.throughput * bweight, state.throughput
+        )
+
+        # 4) Russian roulette from bounce 2 (pt_shade.comp.glsl:753-764)
+        if bounce >= 1:
+            survival = jnp.minimum(jnp.max(throughput, axis=-1), 0.95)
+            rng, u = pcg32_float(rng)
+            survive = u < survival
+            throughput = jnp.where(
+                (active & survive)[:, None],
+                throughput / jnp.maximum(survival, 1e-6)[:, None],
+                throughput,
+            )
+            active = active & survive
+
+        next_ray = Rays(
+            origin=hits.position + surf.normal * SHADOW_EPS,
+            direction=bdir,
+            t_min=jnp.full((n,), 1e-3, jnp.float32),
+            t_max=jnp.full((n,), 3.0e38, jnp.float32),
+        )
+        return WavefrontState(
+            throughput=throughput,
+            accum=accum,
+            pending_nee=pending,
+            rng=rng,
+            active=active,
+            ray=next_ray,
+            shadow_ray=shadow_ray,
+            shadow_valid=shadow_valid,
+            visibility=jnp.zeros((n,), bool),
+        )
+
+    def _light_contrib(self, surf, li: int):
+        """Unshadowed Cook-Torrance contribution of one light
+        (shade_pass.h:597-660 single-light body)."""
+        ldir, atten, valid, dist = light_sample(surf.position, self.lights, li)
+        n_dot_l = jnp.sum(surf.normal * ldir, axis=-1)
+        valid = valid & (n_dot_l > 0.0)
+        h = surf.view_dir + ldir
+        h = h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-12)
+        n_dot_h = jnp.maximum(jnp.sum(surf.normal * h, axis=-1), 0.0)
+        v_dot_h = jnp.maximum(jnp.sum(surf.view_dir * h, axis=-1), 0.0)
+        d_term = distribution_ggx(n_dot_h, surf.roughness)
+        g_term = geometry_smith_ggx(surf.n_dot_v, n_dot_l, surf.roughness)
+        f = fresnel_schlick(v_dot_h[:, None], surf.f0)
+        spec = (d_term * g_term / (4.0 * surf.n_dot_v * n_dot_l + 1e-7))[:, None]
+        radiance = self.lights.color[li] * atten[:, None]
+        contrib = (
+            (surf.diff * (1.0 - f) / PI + f * spec) * radiance
+            * n_dot_l[:, None]
+        )
+        return (
+            jnp.where(valid[:, None], contrib, 0.0), ldir, dist, valid,
+        )
+
+    # ---- frame orchestration (gpu_path_tracer.cpp:241-283) ------------
+    def trace_frame(self, rays: Rays, max_bounces: int = 3,
+                    sample_index: int = 0) -> jnp.ndarray:
+        state = self.generate(rays, sample_index)
+        for bounce in range(max_bounces + 1):
+            hits = self.extend(state)
+            state = self.shade(state, hits, bounce, max_bounces)
+            state = self.connect(state)
+        # finalize-Shade: resolve the last bounce's deferred NEE
+        accum = state.accum + jnp.where(
+            state.visibility[:, None], state.pending_nee, 0.0
+        )
+        return accum
+
+    def trace_frame_srgb(self, rays: Rays, max_bounces: int = 3,
+                         sample_index: int = 0) -> jnp.ndarray:
+        linear = self.trace_frame(rays, max_bounces, sample_index)
+        return to_srgb(tonemap(linear, self.env.tonemap_mode))

@@ -142,13 +142,43 @@ def build_scene(v0, v1, v2, layers=None, prim_id=None, use_bvh=True,
         normal=jnp.asarray(nrm.astype(np.float32)),
         prim_id=jnp.asarray(prim_id[perm]), layers=jnp.asarray(layers[perm]),
     )
-    wide = (
-        build_wide_scene(bvh, tris, _np=(pv0, e1, e2, nrm, prim_id[perm],
-                                         layers[perm]))
-        if backend == "pallas" else None
-    )
+    wide = None
+    if backend == "pallas":
+        if _wide_fits_vmem(bvh):
+            wide = build_wide_scene(
+                bvh, tris, _np=(pv0, e1, e2, nrm, prim_id[perm], layers[perm])
+            )
+        else:
+            # Graceful degradation (the reference's GPU-unavailable -> CPU
+            # chain, raytracer_server.cpp:348-355): scenes whose wide
+            # layout exceeds the VMEM budget route to the jnp traversal
+            # until the HBM-streaming kernel lands (PERF.md item 4).
+            import warnings
+
+            warnings.warn(
+                f"scene too large for the VMEM-resident Pallas kernel "
+                f"({t} tris); falling back to the jnp traversal backend",
+                stacklevel=2,
+            )
+            backend = "jnp"
     return RayScene(tris=tris, bvh=bvh, wide=wide, use_bvh=use_bvh,
                     backend=backend)
+
+
+# The kernel needs nodes + leaf rows VMEM-resident plus ray tiles and
+# headroom.  14.3 MB scenes are measured working on v5e; 20 MB is the
+# routing threshold (larger scenes go to the jnp backend until the
+# HBM-streaming kernel lands, PERF.md item 4).
+_WIDE_VMEM_BUDGET = 20 * 1024 * 1024
+
+
+def _wide_fits_vmem(bvh: BVH) -> bool:
+    count = np.asarray(bvh.count)
+    num_internal = int((count == 0).sum()) + 1
+    num_leaf = int((count > 0).sum()) + 1
+    node_bytes = -(-num_internal // 8) * 512   # 8 nodes per 512B row
+    leaf_bytes = -(-num_leaf // 2) * 512       # 2 leaves per 512B row
+    return node_bytes + leaf_bytes <= _WIDE_VMEM_BUDGET
 
 
 def build_scene_from_tri_array(tri_array, **kw) -> RayScene:

@@ -118,18 +118,33 @@ def _finalize_bvh(node_min, node_max, left_first, count, depth, axis,
     sort_key = np.argsort(depth, kind="stable").astype(np.int32)
     counts = np.bincount(depth, minlength=max_depth + 1)
     offsets = np.concatenate([[0], np.cumsum(counts)])
-    all_levels = jnp.asarray(sort_key)  # one device put
+
+    # TWO device puts total (one f32, one i32): individual puts cost
+    # seconds each through tunneled devices; slicing on device is cheap.
+    m = node_min.shape[0]
+    n = order.shape[0]
+    fbuf = jnp.asarray(
+        np.concatenate([node_min.reshape(-1), node_max.reshape(-1)])
+        .astype(np.float32)
+    )
+    ibuf = jnp.asarray(
+        np.concatenate([
+            left_first.astype(np.int32), count.astype(np.int32),
+            axis.astype(np.int32), order.astype(np.int32), sort_key,
+        ])
+    )
+    all_levels = ibuf[3 * m + n:]
     levels = tuple(
         all_levels[offsets[lvl]:offsets[lvl + 1]]
         for lvl in range(max_depth + 1)
     )
     return BVH(
-        aabb_min=jnp.asarray(node_min),
-        aabb_max=jnp.asarray(node_max),
-        left_first=jnp.asarray(left_first),
-        count=jnp.asarray(count),
-        tri_order=jnp.asarray(order),
-        split_axis=jnp.asarray(axis),
+        aabb_min=fbuf[: 3 * m].reshape(m, 3),
+        aabb_max=fbuf[3 * m:].reshape(m, 3),
+        left_first=ibuf[:m],
+        count=ibuf[m : 2 * m],
+        tri_order=ibuf[3 * m : 3 * m + n],
+        split_axis=ibuf[2 * m : 3 * m],
         levels=levels,
     )
 

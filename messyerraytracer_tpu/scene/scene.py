@@ -166,10 +166,10 @@ def build_scene(v0, v1, v2, layers=None, prim_id=None, use_bvh=True,
 
 
 # The kernel needs nodes + leaf rows VMEM-resident plus ray tiles and
-# headroom.  14.3 MB scenes are measured working on v5e; 20 MB is the
-# routing threshold (larger scenes go to the jnp backend until the
-# HBM-streaming kernel lands, PERF.md item 4).
-_WIDE_VMEM_BUDGET = 20 * 1024 * 1024
+# headroom.  Empirically on v5e: 14.3 MB of scene arrays compiles, 19.4 MB
+# fails (VMEM ~16 MB).  Larger scenes route to the jnp backend until the
+# HBM-streaming kernel lands (PERF.md item 4).
+_WIDE_VMEM_BUDGET = 15 * 1024 * 1024
 
 
 def _wide_fits_vmem(bvh: BVH) -> bool:

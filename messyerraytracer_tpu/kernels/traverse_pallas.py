@@ -77,20 +77,26 @@ def _traverse_kernel(
     t_out, slot_out, u_out, v_out, tt_out, pops_out,
     stack_ref, nodes_ref, leaf_ref, sems,       # scratch
     *, any_hit: bool, n_slots: int, dummy_enc: int, dummy_leaf: int,
+    stream_leaves: bool,
 ):
     shape = (SROWS, 128)
 
     # Stage the scene into VMEM once: scratch persists across grid steps,
     # so only the first tile pays the HBM->VMEM copy (rather than every
-    # step re-staging megabytes of nodes/triangles).
+    # step re-staging megabytes of nodes/triangles).  In stream_leaves mode
+    # the leaf array exceeds VMEM and stays in HBM; each leaf pop DMAs its
+    # single 512B row instead (the big-scene fallback, PERF.md item 4 —
+    # the reference's analogous move is its 512K-ray TDR chunking,
+    # gpu_ray_caster.cpp:427-430: trade latency for capacity).
     @pl.when(pl.program_id(0) == 0)
     def _():
         c1 = pltpu.make_async_copy(nodes_hbm, nodes_ref, sems.at[0])
-        c2 = pltpu.make_async_copy(leaf_hbm, leaf_ref, sems.at[1])
         c1.start()
-        c2.start()
+        if not stream_leaves:
+            c2 = pltpu.make_async_copy(leaf_hbm, leaf_ref, sems.at[1])
+            c2.start()
+            c2.wait()
         c1.wait()
-        c2.wait()
 
     def safe_inv(x):
         small = jnp.abs(x) < INV_DIR_EPS
@@ -135,7 +141,16 @@ def _traverse_kernel(
 
         def leaf_fn(args):
             sp, cap, best_t, slot, uu, vv, tt = args
-            row = leaf_ref[pl.ds(idx // LEAVES_PER_ROW, 1), :]
+            if stream_leaves:
+                c = pltpu.make_async_copy(
+                    leaf_hbm.at[pl.ds(idx // LEAVES_PER_ROW, 1), :],
+                    leaf_ref.at[si : si + 1, :], sems.at[2],
+                )
+                c.start()
+                c.wait()
+                row = leaf_ref[si : si + 1, :]
+            else:
+                row = leaf_ref[pl.ds(idx // LEAVES_PER_ROW, 1), :]
             rot = pltpu.roll(row, -(idx % LEAVES_PER_ROW) * LEAF_STRIDE,
                              axis=1)
             for k in range(LEAF_CAP):
@@ -288,7 +303,7 @@ def _on_tpu() -> bool:
 
 
 def _call_kernel(rfields, nodes, leaf_tris, *, any_hit, interpret, num_steps,
-                 n_slots, dummy_enc, dummy_leaf):
+                 n_slots, dummy_enc, dummy_leaf, stream_leaves=False):
     grid = (num_steps,)
     rows = n_slots * SROWS
     ray_spec = pl.BlockSpec(
@@ -307,8 +322,14 @@ def _call_kernel(rfields, nodes, leaf_tris, *, any_hit, interpret, num_steps,
     kern = functools.partial(
         _traverse_kernel, any_hit=any_hit, n_slots=n_slots,
         dummy_enc=dummy_enc, dummy_leaf=dummy_leaf,
+        stream_leaves=stream_leaves,
     )
     hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    leaf_scr = (
+        pltpu.VMEM((n_slots, 128), jnp.float32)      # per-pop DMA landing
+        if stream_leaves
+        else pltpu.VMEM(leaf_tris.shape, jnp.float32)
+    )
     return pl.pallas_call(
         kern,
         grid=grid,
@@ -318,8 +339,8 @@ def _call_kernel(rfields, nodes, leaf_tris, *, any_hit, interpret, num_steps,
         scratch_shapes=[
             pltpu.SMEM((n_slots, KSTACK), jnp.int32),
             pltpu.VMEM(nodes.shape, jnp.float32),
-            pltpu.VMEM(leaf_tris.shape, jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            leaf_scr,
+            pltpu.SemaphoreType.DMA((3,)),
         ],
         interpret=interpret,
     )(*rfields, nodes, leaf_tris)
@@ -332,6 +353,7 @@ def cast_rays_wide(
     any_hit: bool = False,
     interpret: bool | None = None,
     n_slots: int = N_SLOTS,
+    stream_leaves: bool | None = None,
 ) -> tuple[Hits, RayStats, jnp.ndarray]:
     """Cast a ray batch through the wide-node scene with the Pallas kernel.
 
@@ -345,14 +367,19 @@ def cast_rays_wide(
     """
     if interpret is None:
         interpret = not _on_tpu()
+    if stream_leaves is None:
+        stream_leaves = getattr(scene, "stream_leaves", False)
     return _cast_rays_wide_jit(
         rays, scene, query_mask=int(query_mask), any_hit=any_hit,
-        interpret=interpret, n_slots=n_slots,
+        interpret=interpret, n_slots=n_slots, stream_leaves=stream_leaves,
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("query_mask", "any_hit", "interpret", "n_slots")
+    jax.jit,
+    static_argnames=(
+        "query_mask", "any_hit", "interpret", "n_slots", "stream_leaves",
+    ),
 )
 def _cast_rays_wide_jit(
     rays: Rays,
@@ -362,6 +389,7 @@ def _cast_rays_wide_jit(
     any_hit: bool,
     interpret: bool,
     n_slots: int,
+    stream_leaves: bool,
 ) -> tuple[Hits, RayStats, jnp.ndarray]:
     n = rays.count
     step = n_slots * SROWS * 128
@@ -388,7 +416,7 @@ def _cast_rays_wide_jit(
         rfields, scene.nodes, leaf_tris,
         any_hit=any_hit, interpret=interpret, num_steps=num_steps,
         n_slots=n_slots, dummy_enc=scene.dummy_enc,
-        dummy_leaf=scene.dummy_leaf,
+        dummy_leaf=scene.dummy_leaf, stream_leaves=stream_leaves,
     )
 
     t = t.reshape(-1)[:n]

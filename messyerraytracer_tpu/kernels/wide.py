@@ -51,7 +51,7 @@ LEAF_STRIDE = 64
 LEAF_CAP = 4          # MAX_LEAF_SIZE
 
 
-@pytree_dataclass(meta_fields=("dummy_enc", "dummy_leaf"))
+@pytree_dataclass(meta_fields=("dummy_enc", "dummy_leaf", "stream_leaves"))
 class WideScene:
     """Device arrays consumed by the Pallas traversal kernel."""
 
@@ -67,6 +67,7 @@ class WideScene:
     leaf_const: jnp.ndarray    # (...,) f32 constant tail for leaf gather
     dummy_enc: int             # stack encoding of the never-hit dummy node
     dummy_leaf: int            # index of the all-zero dummy leaf (no-op MT)
+    stream_leaves: bool = False  # leaf rows stay in HBM, DMA'd per pop
 
     @property
     def num_leaves(self) -> int:
@@ -84,7 +85,8 @@ def _pack_idx(rows: np.ndarray, per_row: int, stride: int, fill: int):
     return buf.reshape(nr_pad, 128)
 
 
-def build_wide_scene(bvh: BVH, tris: Triangles, _np=None) -> WideScene:
+def build_wide_scene(bvh: BVH, tris: Triangles, _np=None,
+                     stream_leaves: bool = False) -> WideScene:
     """Convert a DFS narrow-node BVH + slot-ordered triangles to the wide
     lane-packed layout.  Host-side (numpy), runs once per topology (re)build;
     per-frame geometry updates use ``refresh_wide_scene`` instead.
@@ -227,6 +229,7 @@ def build_wide_scene(bvh: BVH, tris: Triangles, _np=None) -> WideScene:
         leaf_const=jnp.asarray(leaf_const),
         dummy_enc=2 * (num_wide - 1),
         dummy_leaf=num_leaf,
+        stream_leaves=stream_leaves,
     )
 
 

@@ -144,19 +144,29 @@ def build_scene(v0, v1, v2, layers=None, prim_id=None, use_bvh=True,
     )
     wide = None
     if backend == "pallas":
-        if _wide_fits_vmem(bvh):
+        fit = _wide_vmem_fit(bvh)
+        if fit == "resident":
             wide = build_wide_scene(
                 bvh, tris, _np=(pv0, e1, e2, nrm, prim_id[perm], layers[perm])
             )
+        elif fit == "stream":
+            # Big-scene mode: nodes stay VMEM-resident, leaf rows stream
+            # from HBM with one DMA per leaf pop (slower per pop, unbounded
+            # capacity -- the trade the reference makes with 512K-ray TDR
+            # chunking, gpu_ray_caster.cpp:427-430).
+            wide = build_wide_scene(
+                bvh, tris,
+                _np=(pv0, e1, e2, nrm, prim_id[perm], layers[perm]),
+                stream_leaves=True,
+            )
         else:
             # Graceful degradation (the reference's GPU-unavailable -> CPU
-            # chain, raytracer_server.cpp:348-355): scenes whose wide
-            # layout exceeds the VMEM budget route to the jnp traversal
-            # until the HBM-streaming kernel lands (PERF.md item 4).
+            # chain, raytracer_server.cpp:348-355): even the node array
+            # alone exceeds VMEM.
             import warnings
 
             warnings.warn(
-                f"scene too large for the VMEM-resident Pallas kernel "
+                f"scene node array too large for the Pallas kernel "
                 f"({t} tris); falling back to the jnp traversal backend",
                 stacklevel=2,
             )
@@ -165,20 +175,25 @@ def build_scene(v0, v1, v2, layers=None, prim_id=None, use_bvh=True,
                     backend=backend)
 
 
-# The kernel needs nodes + leaf rows VMEM-resident plus ray tiles and
-# headroom.  Empirically on v5e: 14.3 MB of scene arrays compiles, 19.4 MB
-# fails (VMEM ~16 MB).  Larger scenes route to the jnp backend until the
-# HBM-streaming kernel lands (PERF.md item 4).
+# The kernel needs scene arrays VMEM-resident plus ray tiles and headroom.
+# Empirically on v5e: 14.3 MB of scene arrays compiles, 19.4 MB fails
+# (VMEM ~16 MB).  Beyond that, leaf rows stream from HBM ("stream" mode);
+# when even the nodes alone exceed the budget, the jnp backend takes over.
 _WIDE_VMEM_BUDGET = 15 * 1024 * 1024
 
 
-def _wide_fits_vmem(bvh: BVH) -> bool:
+def _wide_vmem_fit(bvh: BVH) -> str:
+    # 'resident' | 'stream' | 'none' -- how much of the wide layout fits
     count = np.asarray(bvh.count)
     num_internal = int((count == 0).sum()) + 1
     num_leaf = int((count > 0).sum()) + 1
     node_bytes = -(-num_internal // 8) * 512   # 8 nodes per 512B row
     leaf_bytes = -(-num_leaf // 2) * 512       # 2 leaves per 512B row
-    return node_bytes + leaf_bytes <= _WIDE_VMEM_BUDGET
+    if node_bytes + leaf_bytes <= _WIDE_VMEM_BUDGET:
+        return "resident"
+    if node_bytes <= _WIDE_VMEM_BUDGET - 1024 * 1024:
+        return "stream"
+    return "none"
 
 
 def build_scene_from_tri_array(tri_array, **kw) -> RayScene:

@@ -60,6 +60,7 @@ def save_scene(path: str, scene: RayScene) -> None:
             wide_lconst=np.asarray(scene.wide.leaf_const),
             wide_dummy=np.int32(scene.wide.dummy_enc),
             wide_dummy_leaf=np.int32(scene.wide.dummy_leaf),
+            wide_stream=np.bool_(scene.wide.stream_leaves),
         )
     np.savez_compressed(path, **arrs)
 
@@ -97,6 +98,7 @@ def load_scene(path: str) -> RayScene:
             leaf_const=jnp.asarray(z["wide_lconst"]),
             dummy_enc=int(z["wide_dummy"]),
             dummy_leaf=int(z["wide_dummy_leaf"]),
+            stream_leaves=bool(z["wide_stream"]) if "wide_stream" in z else False,
         )
     return RayScene(
         tris=tris, bvh=bvh, wide=wide,

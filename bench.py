@@ -89,6 +89,28 @@ def main():
     dt = (time.time() - t0) / iters
     mrays = n / dt / 1e6
 
+    # ---- secondary: the 1M-tri BASELINE scene (full-streaming kernel) --
+    g1m = meshes.plane(40.0, y=0.0, subdiv=710)
+    g1m[:, :, 1] = (np.sin(g1m[:, :, 0] * 0.7) * np.cos(g1m[:, :, 2] * 0.6)) * 1.5
+    t0 = time.time()
+    scene1m = build_scene_from_tri_array(g1m)
+    build1m_s = time.time() - t0
+    h1m, _ = scene1m.cast_rays(rays)
+    jax.block_until_ready(h1m.t)
+    t0 = time.time()
+    h1m, _ = scene1m.cast_rays(rays)
+    jax.block_until_ready(h1m.t)
+    dt1m = time.time() - t0
+    sub1m = Rays(
+        origin=rays.origin[:2048], direction=rays.direction[:2048],
+        t_min=rays.t_min[:2048], t_max=rays.t_max[:2048],
+    )
+    hs1m, _ = scene1m.cast_rays(sub1m)
+    hb1m, _ = cast_rays_brute(sub1m, scene1m.tris)
+    parity_1m = bool(
+        np.array_equal(np.asarray(hs1m.prim_id), np.asarray(hb1m.prim_id))
+    )
+
     print(
         json.dumps(
             {
@@ -103,6 +125,9 @@ def main():
                     "build_s": round(build_s, 2),
                     "parity_vs_brute": parity,
                     "hit_rate": round(float(stats.hit_rate()), 3),
+                    "mrays_1m_tris": round(n / dt1m / 1e6, 3),
+                    "parity_1m": parity_1m,
+                    "build_1m_s": round(build1m_s, 2),
                     "device": str(jax.devices()[0]),
                 },
             }

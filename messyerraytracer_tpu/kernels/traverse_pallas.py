@@ -77,7 +77,7 @@ def _traverse_kernel(
     t_out, slot_out, u_out, v_out, tt_out, pops_out,
     stack_ref, nodes_ref, leaf_ref, sems,       # scratch
     *, any_hit: bool, n_slots: int, dummy_enc: int, dummy_leaf: int,
-    stream_leaves: bool,
+    stream_leaves: bool, stream_nodes: bool,
 ):
     shape = (SROWS, 128)
 
@@ -90,13 +90,15 @@ def _traverse_kernel(
     # gpu_ray_caster.cpp:427-430: trade latency for capacity).
     @pl.when(pl.program_id(0) == 0)
     def _():
-        c1 = pltpu.make_async_copy(nodes_hbm, nodes_ref, sems.at[0])
-        c1.start()
+        if not stream_nodes:
+            c1 = pltpu.make_async_copy(nodes_hbm, nodes_ref, sems.at[0])
+            c1.start()
         if not stream_leaves:
             c2 = pltpu.make_async_copy(leaf_hbm, leaf_ref, sems.at[1])
             c2.start()
             c2.wait()
-        c1.wait()
+        if not stream_nodes:
+            c1.wait()
 
     def safe_inv(x):
         small = jnp.abs(x) < INV_DIR_EPS
@@ -191,7 +193,16 @@ def _traverse_kernel(
 
         def internal_fn(args):
             sp, cap, best_t, slot, uu, vv, tt = args
-            row = nodes_ref[pl.ds(idx // NODES_PER_ROW, 1), :]
+            if stream_nodes:
+                c = pltpu.make_async_copy(
+                    nodes_hbm.at[pl.ds(idx // NODES_PER_ROW, 1), :],
+                    nodes_ref.at[si : si + 1, :], sems.at[1],
+                )
+                c.start()
+                c.wait()
+                row = nodes_ref[si : si + 1, :]
+            else:
+                row = nodes_ref[pl.ds(idx // NODES_PER_ROW, 1), :]
             rot = pltpu.roll(row, -(idx % NODES_PER_ROW) * NODE_STRIDE,
                              axis=1)
 
@@ -303,7 +314,8 @@ def _on_tpu() -> bool:
 
 
 def _call_kernel(rfields, nodes, leaf_tris, *, any_hit, interpret, num_steps,
-                 n_slots, dummy_enc, dummy_leaf, stream_leaves=False):
+                 n_slots, dummy_enc, dummy_leaf, stream_leaves=False,
+                 stream_nodes=False):
     grid = (num_steps,)
     rows = n_slots * SROWS
     ray_spec = pl.BlockSpec(
@@ -322,13 +334,18 @@ def _call_kernel(rfields, nodes, leaf_tris, *, any_hit, interpret, num_steps,
     kern = functools.partial(
         _traverse_kernel, any_hit=any_hit, n_slots=n_slots,
         dummy_enc=dummy_enc, dummy_leaf=dummy_leaf,
-        stream_leaves=stream_leaves,
+        stream_leaves=stream_leaves, stream_nodes=stream_nodes,
     )
     hbm = pl.BlockSpec(memory_space=pltpu.ANY)
     leaf_scr = (
         pltpu.VMEM((n_slots, 128), jnp.float32)      # per-pop DMA landing
         if stream_leaves
         else pltpu.VMEM(leaf_tris.shape, jnp.float32)
+    )
+    node_scr = (
+        pltpu.VMEM((n_slots, 128), jnp.float32)
+        if stream_nodes
+        else pltpu.VMEM(nodes.shape, jnp.float32)
     )
     return pl.pallas_call(
         kern,
@@ -338,7 +355,7 @@ def _call_kernel(rfields, nodes, leaf_tris, *, any_hit, interpret, num_steps,
         out_shape=out_shape,
         scratch_shapes=[
             pltpu.SMEM((n_slots, KSTACK), jnp.int32),
-            pltpu.VMEM(nodes.shape, jnp.float32),
+            node_scr,
             leaf_scr,
             pltpu.SemaphoreType.DMA((3,)),
         ],
@@ -354,6 +371,7 @@ def cast_rays_wide(
     interpret: bool | None = None,
     n_slots: int = N_SLOTS,
     stream_leaves: bool | None = None,
+    stream_nodes: bool | None = None,
 ) -> tuple[Hits, RayStats, jnp.ndarray]:
     """Cast a ray batch through the wide-node scene with the Pallas kernel.
 
@@ -369,9 +387,12 @@ def cast_rays_wide(
         interpret = not _on_tpu()
     if stream_leaves is None:
         stream_leaves = getattr(scene, "stream_leaves", False)
+    if stream_nodes is None:
+        stream_nodes = getattr(scene, "stream_nodes", False)
     return _cast_rays_wide_jit(
         rays, scene, query_mask=int(query_mask), any_hit=any_hit,
         interpret=interpret, n_slots=n_slots, stream_leaves=stream_leaves,
+        stream_nodes=stream_nodes,
     )
 
 
@@ -379,6 +400,7 @@ def cast_rays_wide(
     jax.jit,
     static_argnames=(
         "query_mask", "any_hit", "interpret", "n_slots", "stream_leaves",
+        "stream_nodes",
     ),
 )
 def _cast_rays_wide_jit(
@@ -390,6 +412,7 @@ def _cast_rays_wide_jit(
     interpret: bool,
     n_slots: int,
     stream_leaves: bool,
+    stream_nodes: bool,
 ) -> tuple[Hits, RayStats, jnp.ndarray]:
     n = rays.count
     step = n_slots * SROWS * 128
@@ -417,6 +440,7 @@ def _cast_rays_wide_jit(
         any_hit=any_hit, interpret=interpret, num_steps=num_steps,
         n_slots=n_slots, dummy_enc=scene.dummy_enc,
         dummy_leaf=scene.dummy_leaf, stream_leaves=stream_leaves,
+        stream_nodes=stream_nodes,
     )
 
     t = t.reshape(-1)[:n]

@@ -51,7 +51,7 @@ LEAF_STRIDE = 64
 LEAF_CAP = 4          # MAX_LEAF_SIZE
 
 
-@pytree_dataclass(meta_fields=("dummy_enc", "dummy_leaf", "stream_leaves"))
+@pytree_dataclass(meta_fields=("dummy_enc", "dummy_leaf", "stream_leaves", "stream_nodes"))
 class WideScene:
     """Device arrays consumed by the Pallas traversal kernel."""
 
@@ -68,6 +68,7 @@ class WideScene:
     dummy_enc: int             # stack encoding of the never-hit dummy node
     dummy_leaf: int            # index of the all-zero dummy leaf (no-op MT)
     stream_leaves: bool = False  # leaf rows stay in HBM, DMA'd per pop
+    stream_nodes: bool = False   # node rows too (very large scenes)
 
     @property
     def num_leaves(self) -> int:
@@ -86,7 +87,8 @@ def _pack_idx(rows: np.ndarray, per_row: int, stride: int, fill: int):
 
 
 def build_wide_scene(bvh: BVH, tris: Triangles, _np=None,
-                     stream_leaves: bool = False) -> WideScene:
+                     stream_leaves: bool = False,
+                     stream_nodes: bool = False) -> WideScene:
     """Convert a DFS narrow-node BVH + slot-ordered triangles to the wide
     lane-packed layout.  Host-side (numpy), runs once per topology (re)build;
     per-frame geometry updates use ``refresh_wide_scene`` instead.
@@ -230,6 +232,7 @@ def build_wide_scene(bvh: BVH, tris: Triangles, _np=None,
         dummy_enc=2 * (num_wide - 1),
         dummy_leaf=num_leaf,
         stream_leaves=stream_leaves,
+        stream_nodes=stream_nodes,
     )
 
 

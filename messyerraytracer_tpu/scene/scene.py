@@ -160,17 +160,12 @@ def build_scene(v0, v1, v2, layers=None, prim_id=None, use_bvh=True,
                 stream_leaves=True,
             )
         else:
-            # Graceful degradation (the reference's GPU-unavailable -> CPU
-            # chain, raytracer_server.cpp:348-355): even the node array
-            # alone exceeds VMEM.
-            import warnings
-
-            warnings.warn(
-                f"scene node array too large for the Pallas kernel "
-                f"({t} tris); falling back to the jnp traversal backend",
-                stacklevel=2,
+            # Very large scenes: both arrays stream from HBM per pop.
+            wide = build_wide_scene(
+                bvh, tris,
+                _np=(pv0, e1, e2, nrm, prim_id[perm], layers[perm]),
+                stream_leaves=True, stream_nodes=True,
             )
-            backend = "jnp"
     return RayScene(tris=tris, bvh=bvh, wide=wide, use_bvh=use_bvh,
                     backend=backend)
 
@@ -193,7 +188,7 @@ def _wide_vmem_fit(bvh: BVH) -> str:
         return "resident"
     if node_bytes <= _WIDE_VMEM_BUDGET - 1024 * 1024:
         return "stream"
-    return "none"
+    return "stream_all"
 
 
 def build_scene_from_tri_array(tri_array, **kw) -> RayScene:

@@ -61,6 +61,7 @@ def save_scene(path: str, scene: RayScene) -> None:
             wide_dummy=np.int32(scene.wide.dummy_enc),
             wide_dummy_leaf=np.int32(scene.wide.dummy_leaf),
             wide_stream=np.bool_(scene.wide.stream_leaves),
+            wide_stream_nodes=np.bool_(scene.wide.stream_nodes),
         )
     np.savez_compressed(path, **arrs)
 
@@ -99,6 +100,8 @@ def load_scene(path: str) -> RayScene:
             dummy_enc=int(z["wide_dummy"]),
             dummy_leaf=int(z["wide_dummy_leaf"]),
             stream_leaves=bool(z["wide_stream"]) if "wide_stream" in z else False,
+            stream_nodes=bool(z["wide_stream_nodes"])
+            if "wide_stream_nodes" in z else False,
         )
     return RayScene(
         tris=tris, bvh=bvh, wide=wide,

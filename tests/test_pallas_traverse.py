@@ -127,3 +127,50 @@ class TestPallasParity:
         assert_parity(hits, ref)
         frac = int(stats.tri_tests) / (rays.count * scene.num_tris)
         assert frac < 0.5
+
+
+class TestStreamingModes:
+    """HBM-streaming kernel modes, forced on small scenes so CPU interpret
+    mode can cover them (naturally they only engage beyond ~15 MB of scene
+    arrays)."""
+
+    def _scene_and_rays(self):
+        scene = pallas_scene(meshes.uv_sphere(radius=1.0, rings=10, segments=20))
+        rays = random_rays(512, seed=31)
+        ref, _ = cast_rays_brute(rays, scene.tris)
+        return scene, rays, ref
+
+    def test_stream_leaves_parity(self):
+        from messyerraytracer_tpu.kernels.traverse_pallas import cast_rays_wide
+
+        scene, rays, ref = self._scene_and_rays()
+        hits, _, _ = cast_rays_wide(rays, scene.wide, stream_leaves=True)
+        assert_parity(hits, ref)
+
+    def test_stream_all_parity(self):
+        from messyerraytracer_tpu.kernels.traverse_pallas import cast_rays_wide
+
+        scene, rays, ref = self._scene_and_rays()
+        hits, _, _ = cast_rays_wide(
+            rays, scene.wide, stream_leaves=True, stream_nodes=True
+        )
+        assert_parity(hits, ref)
+
+    def test_routing_tiers(self):
+        import messyerraytracer_tpu.scene.scene as SC
+
+        old = SC._WIDE_VMEM_BUDGET
+        try:
+            # tiny budget: force full-streaming; still pallas, still correct
+            SC._WIDE_VMEM_BUDGET = 1024  # smaller than any real scene
+            scene = pallas_scene(
+                meshes.uv_sphere(radius=1.0, rings=10, segments=20)
+            )
+            assert scene.backend == "pallas"
+            assert scene.wide.stream_leaves and scene.wide.stream_nodes
+            rays = random_rays(256, seed=37)
+            hits, _ = scene.cast_rays(rays)
+            ref, _ = cast_rays_brute(rays, scene.tris)
+            assert_parity(hits, ref)
+        finally:
+            SC._WIDE_VMEM_BUDGET = old

@@ -126,24 +126,84 @@ def _traverse_kernel(
     for si in range(n_slots):
         SIGN.append(tuple(jnp.sum(D[si][a]) >= 0.0 for a in range(3)))
 
-    def pop_one(si, sp, cap, best_t, slot, uu, vv, tt, pops):
+    stream_all = stream_nodes and stream_leaves
+
+    def _prefetch_copy(si, e, parity):
+        """The (reconstructible) copy descriptor for entry ``e``'s row into
+        the parity-selected landing slot.  Landing slots double-buffer by
+        iteration parity so a prefetch never overwrites the row the current
+        iteration is reading."""
+        idx2 = jax.lax.shift_right_logical(e, 1)
+        r = 2 * si + parity
+        is_leaf = (e & 1) == 1
+        leaf_c = pltpu.make_async_copy(
+            leaf_hbm.at[pl.ds(idx2 // LEAVES_PER_ROW, 1), :],
+            leaf_ref.at[pl.ds(r, 1), :], sems.at[3 + si],
+        )
+        node_c = pltpu.make_async_copy(
+            nodes_hbm.at[pl.ds(idx2 // NODES_PER_ROW, 1), :],
+            nodes_ref.at[pl.ds(r, 1), :], sems.at[3 + si],
+        )
+        return is_leaf, leaf_c, node_c
+
+    def _start_prefetch(si, e, parity):
+        is_leaf, leaf_c, node_c = _prefetch_copy(si, e, parity)
+
+        @pl.when(is_leaf)
+        def _():
+            leaf_c.start()
+
+        @pl.when(jnp.logical_not(is_leaf))
+        def _():
+            node_c.start()
+
+    def _final_wait(si, e, parity):
+        is_leaf, leaf_c, node_c = _prefetch_copy(si, e, parity)
+
+        @pl.when(is_leaf)
+        def _():
+            leaf_c.wait()
+
+        @pl.when(jnp.logical_not(is_leaf))
+        def _():
+            node_c.wait()
+
+    def pop_one(si, sp, cap, best_t, slot, uu, vv, tt, pops, e_cur=None,
+                parity=None):
         """One pop for interleave slot ``si``.  The leaf/internal split is
         a lax.cond — measured on v5e this beats a branch-free merged body
         (the dummy-side work costs more than the branch).  Node/leaf fields
         are extracted directly from the rolled row value (static lanes) —
-        no scratch round trip, so different slots' pops are independent."""
+        no scratch round trip, so different slots' pops are independent.
+
+        In full-stream (prefetch) mode ``e_cur`` is the entry whose row was
+        prefetched last iteration; this call processes it, pops the next
+        entry, and returns it so the caller can start its DMA."""
         o, d, inv = O[si], D[si], INV[si]
         t_min, t_max = TMIN[si], TMAX[si]
-        active = sp > 0
-        e = jnp.where(active, stack_ref[si, jnp.maximum(sp - 1, 0)],
-                      jnp.int32(dummy_enc))
-        sp = jnp.maximum(sp - 1, 0)
-        pops = pops + active.astype(jnp.int32)
+        if e_cur is None:
+            active = sp > 0
+            e = jnp.where(active, stack_ref[si, jnp.maximum(sp - 1, 0)],
+                          jnp.int32(dummy_enc))
+            sp = jnp.maximum(sp - 1, 0)
+            pops = pops + active.astype(jnp.int32)
+        else:
+            e = e_cur
+            pops = pops + (e != dummy_enc).astype(jnp.int32)
         idx = jax.lax.shift_right_logical(e, 1)
 
         def leaf_fn(args):
             sp, cap, best_t, slot, uu, vv, tt = args
-            if stream_leaves:
+            if stream_all:
+                # prefetched by the previous iteration: reconstruct the
+                # same copy descriptor and wait (double-buffer pattern)
+                r = 2 * si + parity
+                pltpu.make_async_copy(
+                    leaf_hbm.at[pl.ds(idx // LEAVES_PER_ROW, 1), :],
+                    leaf_ref.at[pl.ds(r, 1), :], sems.at[3 + si],
+                ).wait()
+                row = leaf_ref[pl.ds(r, 1), :]
+            elif stream_leaves:
                 c = pltpu.make_async_copy(
                     leaf_hbm.at[pl.ds(idx // LEAVES_PER_ROW, 1), :],
                     leaf_ref.at[si : si + 1, :], sems.at[2],
@@ -193,7 +253,14 @@ def _traverse_kernel(
 
         def internal_fn(args):
             sp, cap, best_t, slot, uu, vv, tt = args
-            if stream_nodes:
+            if stream_all:
+                r = 2 * si + parity
+                pltpu.make_async_copy(
+                    nodes_hbm.at[pl.ds(idx // NODES_PER_ROW, 1), :],
+                    nodes_ref.at[pl.ds(r, 1), :], sems.at[3 + si],
+                ).wait()
+                row = nodes_ref[pl.ds(r, 1), :]
+            elif stream_nodes:
                 c = pltpu.make_async_copy(
                     nodes_hbm.at[pl.ds(idx // NODES_PER_ROW, 1), :],
                     nodes_ref.at[si : si + 1, :], sems.at[1],
@@ -251,36 +318,16 @@ def _traverse_kernel(
             (sp, cap, best_t, slot, uu, vv, tt),
         )
         sp, cap, best_t, slot, uu, vv, tt = out
-        return sp, cap, best_t, slot, uu, vv, tt, pops
+        if e_cur is None:
+            return sp, cap, best_t, slot, uu, vv, tt, pops
+        # pop the NEXT entry and hand it back for prefetching
+        nactive = sp > 0
+        e_next = jnp.where(nactive, stack_ref[si, jnp.maximum(sp - 1, 0)],
+                           jnp.int32(dummy_enc))
+        sp = jnp.maximum(sp - 1, 0)
+        return sp, cap, best_t, slot, uu, vv, tt, pops, e_next
 
-    def cond(c):
-        sps = c[0]
-        alive = sps[0] > 0
-        for si in range(1, n_slots):
-            alive = alive | (sps[si] > 0)
-        if any_hit:
-            alive = alive & jnp.logical_not(c[8])
-        return alive
-
-    def body(c):
-        sps, caps, bts, slots, uus, vvs, tts, pops, done = c
-        sps, caps, bts = list(sps), list(caps), list(bts)
-        slots, uus, vvs, tts = list(slots), list(uus), list(vvs), list(tts)
-        for si in range(n_slots):
-            (sps[si], caps[si], bts[si], slots[si], uus[si], vvs[si],
-             tts[si], pops) = pop_one(
-                si, sps[si], caps[si], bts[si], slots[si], uus[si],
-                vvs[si], tts[si], pops,
-            )
-        if any_hit:
-            done = jnp.min(slots[0]) >= 0
-            for si in range(1, n_slots):
-                done = done & (jnp.min(slots[si]) >= 0)
-        return (tuple(sps), tuple(caps), tuple(bts), tuple(slots),
-                tuple(uus), tuple(vvs), tuple(tts), pops, done)
-
-    init = (
-        tuple(jnp.int32(1) for _ in range(n_slots)),
+    common_init = (
         tuple(jnp.minimum(jnp.full(shape, _BIG, jnp.float32), TMAX[si])
               for si in range(n_slots)),
         tuple(jnp.full(shape, _BIG, jnp.float32) for _ in range(n_slots)),
@@ -291,9 +338,94 @@ def _traverse_kernel(
         jnp.int32(0),
         jnp.bool_(False),
     )
-    sps, caps, bts, slots, uus, vvs, tts, pops, done = jax.lax.while_loop(
-        cond, body, init
-    )
+
+    if not stream_all:
+        def cond(c):
+            sps = c[0]
+            alive = sps[0] > 0
+            for si in range(1, n_slots):
+                alive = alive | (sps[si] > 0)
+            if any_hit:
+                alive = alive & jnp.logical_not(c[8])
+            return alive
+
+        def body(c):
+            sps, caps, bts, slots, uus, vvs, tts, pops, done = c
+            sps, caps, bts = list(sps), list(caps), list(bts)
+            slots, uus, vvs, tts = (
+                list(slots), list(uus), list(vvs), list(tts)
+            )
+            for si in range(n_slots):
+                (sps[si], caps[si], bts[si], slots[si], uus[si], vvs[si],
+                 tts[si], pops) = pop_one(
+                    si, sps[si], caps[si], bts[si], slots[si], uus[si],
+                    vvs[si], tts[si], pops,
+                )
+            if any_hit:
+                done = jnp.min(slots[0]) >= 0
+                for si in range(1, n_slots):
+                    done = done & (jnp.min(slots[si]) >= 0)
+            return (tuple(sps), tuple(caps), tuple(bts), tuple(slots),
+                    tuple(uus), tuple(vvs), tuple(tts), pops, done)
+
+        init = (tuple(jnp.int32(1) for _ in range(n_slots)),) + common_init
+        sps, caps, bts, slots, uus, vvs, tts, pops, done = (
+            jax.lax.while_loop(cond, body, init)
+        )
+    else:
+        # Prefetch protocol: carry the already-popped entry per slot; its
+        # row DMA was started last iteration (or in this prologue for the
+        # root).  Exactly one DMA start per slot per iteration; one final
+        # wait after the loop keeps the semaphores balanced.
+        for si in range(n_slots):
+            _start_prefetch(si, jnp.int32(0), jnp.int32(0))  # root, parity 0
+
+        def cond(c):
+            ecs = c[0]
+            alive = ecs[0] != dummy_enc
+            for si in range(1, n_slots):
+                alive = alive | (ecs[si] != dummy_enc)
+            if any_hit:
+                alive = alive & jnp.logical_not(c[10])
+            return alive
+
+        def body(c):
+            (ecs, sps, caps, bts, slots, uus, vvs, tts, pops, it,
+             done) = c
+            ecs, sps, caps, bts = (
+                list(ecs), list(sps), list(caps), list(bts)
+            )
+            slots, uus, vvs, tts = (
+                list(slots), list(uus), list(vvs), list(tts)
+            )
+            parity = it & 1
+            for si in range(n_slots):
+                (sps[si], caps[si], bts[si], slots[si], uus[si], vvs[si],
+                 tts[si], pops, e_next) = pop_one(
+                    si, sps[si], caps[si], bts[si], slots[si], uus[si],
+                    vvs[si], tts[si], pops, e_cur=ecs[si], parity=parity,
+                )
+                _start_prefetch(si, e_next, (it + 1) & 1)
+                ecs[si] = e_next
+            if any_hit:
+                done = jnp.min(slots[0]) >= 0
+                for si in range(1, n_slots):
+                    done = done & (jnp.min(slots[si]) >= 0)
+            return (tuple(ecs), tuple(sps), tuple(caps), tuple(bts),
+                    tuple(slots), tuple(uus), tuple(vvs), tuple(tts),
+                    pops, it + 1, done)
+
+        init = (
+            tuple(jnp.int32(0) for _ in range(n_slots)),   # e_cur = root
+            tuple(jnp.int32(0) for _ in range(n_slots)),   # empty stacks
+        ) + common_init[:-2] + (jnp.int32(0), jnp.int32(0),
+                                jnp.bool_(False))
+        (ecs, sps, caps, bts, slots, uus, vvs, tts, pops, it, done) = (
+            jax.lax.while_loop(cond, body, init)
+        )
+        # consume the last outstanding prefetch per slot
+        for si in range(n_slots):
+            _final_wait(si, ecs[si], it & 1)
 
     for si in range(n_slots):
         r0 = si * SROWS
@@ -337,13 +469,15 @@ def _call_kernel(rfields, nodes, leaf_tris, *, any_hit, interpret, num_steps,
         stream_leaves=stream_leaves, stream_nodes=stream_nodes,
     )
     hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    # streaming landing buffers double-buffer by iteration parity (2 rows
+    # per slot) for the prefetch protocol
     leaf_scr = (
-        pltpu.VMEM((n_slots, 128), jnp.float32)      # per-pop DMA landing
+        pltpu.VMEM((2 * n_slots, 128), jnp.float32)
         if stream_leaves
         else pltpu.VMEM(leaf_tris.shape, jnp.float32)
     )
     node_scr = (
-        pltpu.VMEM((n_slots, 128), jnp.float32)
+        pltpu.VMEM((2 * n_slots, 128), jnp.float32)
         if stream_nodes
         else pltpu.VMEM(nodes.shape, jnp.float32)
     )

@@ -127,6 +127,7 @@ def _traverse_kernel(
         SIGN.append(tuple(jnp.sum(D[si][a]) >= 0.0 for a in range(3)))
 
     stream_all = stream_nodes and stream_leaves
+    prefetch = stream_nodes or stream_leaves
 
     def _prefetch_copy(si, e, parity):
         """The (reconstructible) copy descriptor for entry ``e``'s row into
@@ -147,26 +148,29 @@ def _traverse_kernel(
         return is_leaf, leaf_c, node_c
 
     def _start_prefetch(si, e, parity):
+        """Start the DMA for entry ``e``'s row — only for kinds that
+        stream (starts and waits pair per-entry, so kinds that are
+        VMEM-resident simply never touch the semaphore)."""
         is_leaf, leaf_c, node_c = _prefetch_copy(si, e, parity)
-
-        @pl.when(is_leaf)
-        def _():
-            leaf_c.start()
-
-        @pl.when(jnp.logical_not(is_leaf))
-        def _():
-            node_c.start()
+        if stream_leaves:
+            @pl.when(is_leaf)
+            def _():
+                leaf_c.start()
+        if stream_nodes:
+            @pl.when(jnp.logical_not(is_leaf))
+            def _():
+                node_c.start()
 
     def _final_wait(si, e, parity):
         is_leaf, leaf_c, node_c = _prefetch_copy(si, e, parity)
-
-        @pl.when(is_leaf)
-        def _():
-            leaf_c.wait()
-
-        @pl.when(jnp.logical_not(is_leaf))
-        def _():
-            node_c.wait()
+        if stream_leaves:
+            @pl.when(is_leaf)
+            def _():
+                leaf_c.wait()
+        if stream_nodes:
+            @pl.when(jnp.logical_not(is_leaf))
+            def _():
+                node_c.wait()
 
     def pop_one(si, sp, cap, best_t, slot, uu, vv, tt, pops, e_cur=None,
                 parity=None):
@@ -194,7 +198,7 @@ def _traverse_kernel(
 
         def leaf_fn(args):
             sp, cap, best_t, slot, uu, vv, tt = args
-            if stream_all:
+            if stream_leaves:
                 # prefetched by the previous iteration: reconstruct the
                 # same copy descriptor and wait (double-buffer pattern)
                 r = 2 * si + parity
@@ -203,14 +207,6 @@ def _traverse_kernel(
                     leaf_ref.at[pl.ds(r, 1), :], sems.at[3 + si],
                 ).wait()
                 row = leaf_ref[pl.ds(r, 1), :]
-            elif stream_leaves:
-                c = pltpu.make_async_copy(
-                    leaf_hbm.at[pl.ds(idx // LEAVES_PER_ROW, 1), :],
-                    leaf_ref.at[si : si + 1, :], sems.at[2],
-                )
-                c.start()
-                c.wait()
-                row = leaf_ref[si : si + 1, :]
             else:
                 row = leaf_ref[pl.ds(idx // LEAVES_PER_ROW, 1), :]
             rot = pltpu.roll(row, -(idx % LEAVES_PER_ROW) * LEAF_STRIDE,
@@ -253,21 +249,13 @@ def _traverse_kernel(
 
         def internal_fn(args):
             sp, cap, best_t, slot, uu, vv, tt = args
-            if stream_all:
+            if stream_nodes:
                 r = 2 * si + parity
                 pltpu.make_async_copy(
                     nodes_hbm.at[pl.ds(idx // NODES_PER_ROW, 1), :],
                     nodes_ref.at[pl.ds(r, 1), :], sems.at[3 + si],
                 ).wait()
                 row = nodes_ref[pl.ds(r, 1), :]
-            elif stream_nodes:
-                c = pltpu.make_async_copy(
-                    nodes_hbm.at[pl.ds(idx // NODES_PER_ROW, 1), :],
-                    nodes_ref.at[si : si + 1, :], sems.at[1],
-                )
-                c.start()
-                c.wait()
-                row = nodes_ref[si : si + 1, :]
             else:
                 row = nodes_ref[pl.ds(idx // NODES_PER_ROW, 1), :]
             rot = pltpu.roll(row, -(idx % NODES_PER_ROW) * NODE_STRIDE,
@@ -339,7 +327,7 @@ def _traverse_kernel(
         jnp.bool_(False),
     )
 
-    if not stream_all:
+    if not prefetch:
         def cond(c):
             sps = c[0]
             alive = sps[0] > 0

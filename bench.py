@@ -98,9 +98,10 @@ def main():
     h1m, _ = scene1m.cast_rays(rays)
     jax.block_until_ready(h1m.t)
     t0 = time.time()
-    h1m, _ = scene1m.cast_rays(rays)
+    for _ in range(2):
+        h1m, _ = scene1m.cast_rays(rays)
     jax.block_until_ready(h1m.t)
-    dt1m = time.time() - t0
+    dt1m = (time.time() - t0) / 2
     sub1m = Rays(
         origin=rays.origin[:2048], direction=rays.direction[:2048],
         t_min=rays.t_min[:2048], t_max=rays.t_max[:2048],

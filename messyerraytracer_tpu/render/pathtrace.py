@@ -185,12 +185,19 @@ class PathTracer:
     """
 
     def __init__(self, scene, lights: Lights | None, env: EnvironmentData,
-                 materials: Materials, mat_id_of_prim=None):
+                 materials: Materials, mat_id_of_prim=None,
+                 sort_secondary: bool = False):
         self.scene = scene
         self.lights = lights
         self.env = env
         self.materials = materials
         self.mat_id_of_prim = mat_id_of_prim
+        # Morton-sort bounce rays for traversal coherence (the
+        # dispatcher's incoherent-batch treatment, ray_dispatcher.h:130-150).
+        # Off by default: measured on v5e the argsort+gather overhead beats
+        # the coherence gain for VMEM-resident scenes; enable for large
+        # streamed scenes where leaf fetches dominate.
+        self.sort_secondary = sort_secondary
 
     def _mat_ids(self, hits):
         pid = jnp.maximum(hits.prim_id, 0)
@@ -227,7 +234,17 @@ class PathTracer:
                 t_min=cur.t_min,
                 t_max=jnp.where(active, cur.t_max, -1.0),
             )
-            hits, _ = self.scene.cast_rays(cast)
+            if bounce >= 1 and self.sort_secondary:
+                from ..dispatch.morton import (
+                    sort_rays_by_direction,
+                    unshuffle_hits,
+                )
+
+                sorted_rays, perm = sort_rays_by_direction(cast)
+                hits_s, _ = self.scene.cast_rays(sorted_rays)
+                hits = unshuffle_hits(hits_s, perm)
+            else:
+                hits, _ = self.scene.cast_rays(cast)
             hit = hits.hit & active
 
             # --- miss -> sky, path ends --------------------------------

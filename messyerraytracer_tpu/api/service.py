@@ -169,6 +169,7 @@ class RayTracerService:
         rays = make_rays(origin, direction, t_min=t_min, t_max=t_max)
         res = self.submit(RayQuery(rays=rays, layer_mask=layer_mask))
         h = res.hits
+        inst = self._tlas._instance_of_hits(h)
         return {
             "hit": bool(h.hit[0]),
             "position": np.asarray(h.position[0]),
@@ -176,6 +177,7 @@ class RayTracerService:
             "distance": float(h.t[0]) if bool(h.hit[0]) else float("inf"),
             "prim_id": int(h.prim_id[0]),
             "hit_layers": int(h.hit_layers[0]),
+            "instance_id": int(inst[0]),
         }
 
     def submit(self, query: RayQuery) -> RayQueryResult:

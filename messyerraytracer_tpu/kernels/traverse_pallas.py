@@ -129,48 +129,49 @@ def _traverse_kernel(
     stream_all = stream_nodes and stream_leaves
     prefetch = stream_nodes or stream_leaves
 
-    def _prefetch_copy(si, e, parity):
-        """The (reconstructible) copy descriptor for entry ``e``'s row into
-        the parity-selected landing slot.  Landing slots double-buffer by
-        iteration parity so a prefetch never overwrites the row the current
-        iteration is reading."""
-        idx2 = jax.lax.shift_right_logical(e, 1)
-        r = 2 * si + parity
-        is_leaf = (e & 1) == 1
-        leaf_c = pltpu.make_async_copy(
+    def _leaf_copy(si, idx2, parity):
+        """Copy descriptor for leaf row ``idx2`` into the parity-selected
+        landing slot.  Landing slots double-buffer by iteration parity so a
+        prefetch never overwrites the row the current iteration reads."""
+        return pltpu.make_async_copy(
             leaf_hbm.at[pl.ds(idx2 // LEAVES_PER_ROW, 1), :],
-            leaf_ref.at[pl.ds(r, 1), :], sems.at[3 + si],
+            leaf_ref.at[pl.ds(2 * si + parity, 1), :], sems.at[3 + si],
         )
-        node_c = pltpu.make_async_copy(
+
+    def _node_copy(si, idx2, parity):
+        return pltpu.make_async_copy(
             nodes_hbm.at[pl.ds(idx2 // NODES_PER_ROW, 1), :],
-            nodes_ref.at[pl.ds(r, 1), :], sems.at[3 + si],
+            nodes_ref.at[pl.ds(2 * si + parity, 1), :], sems.at[3 + si],
         )
-        return is_leaf, leaf_c, node_c
 
     def _start_prefetch(si, e, parity):
         """Start the DMA for entry ``e``'s row — only for kinds that
         stream (starts and waits pair per-entry, so kinds that are
-        VMEM-resident simply never touch the semaphore)."""
-        is_leaf, leaf_c, node_c = _prefetch_copy(si, e, parity)
+        VMEM-resident simply never touch the semaphore).  Descriptors are
+        constructed inside the taken branch only (an unused descriptor is
+        an error in interpret mode)."""
+        idx2 = jax.lax.shift_right_logical(e, 1)
+        is_leaf = (e & 1) == 1
         if stream_leaves:
             @pl.when(is_leaf)
             def _():
-                leaf_c.start()
+                _leaf_copy(si, idx2, parity).start()
         if stream_nodes:
             @pl.when(jnp.logical_not(is_leaf))
             def _():
-                node_c.start()
+                _node_copy(si, idx2, parity).start()
 
     def _final_wait(si, e, parity):
-        is_leaf, leaf_c, node_c = _prefetch_copy(si, e, parity)
+        idx2 = jax.lax.shift_right_logical(e, 1)
+        is_leaf = (e & 1) == 1
         if stream_leaves:
             @pl.when(is_leaf)
             def _():
-                leaf_c.wait()
+                _leaf_copy(si, idx2, parity).wait()
         if stream_nodes:
             @pl.when(jnp.logical_not(is_leaf))
             def _():
-                node_c.wait()
+                _node_copy(si, idx2, parity).wait()
 
     def pop_one(si, sp, cap, best_t, slot, uu, vv, tt, pops, e_cur=None,
                 parity=None):
@@ -201,12 +202,8 @@ def _traverse_kernel(
             if stream_leaves:
                 # prefetched by the previous iteration: reconstruct the
                 # same copy descriptor and wait (double-buffer pattern)
-                r = 2 * si + parity
-                pltpu.make_async_copy(
-                    leaf_hbm.at[pl.ds(idx // LEAVES_PER_ROW, 1), :],
-                    leaf_ref.at[pl.ds(r, 1), :], sems.at[3 + si],
-                ).wait()
-                row = leaf_ref[pl.ds(r, 1), :]
+                _leaf_copy(si, idx, parity).wait()
+                row = leaf_ref[pl.ds(2 * si + parity, 1), :]
             else:
                 row = leaf_ref[pl.ds(idx // LEAVES_PER_ROW, 1), :]
             rot = pltpu.roll(row, -(idx % LEAVES_PER_ROW) * LEAF_STRIDE,
@@ -250,12 +247,8 @@ def _traverse_kernel(
         def internal_fn(args):
             sp, cap, best_t, slot, uu, vv, tt = args
             if stream_nodes:
-                r = 2 * si + parity
-                pltpu.make_async_copy(
-                    nodes_hbm.at[pl.ds(idx // NODES_PER_ROW, 1), :],
-                    nodes_ref.at[pl.ds(r, 1), :], sems.at[3 + si],
-                ).wait()
-                row = nodes_ref[pl.ds(r, 1), :]
+                _node_copy(si, idx, parity).wait()
+                row = nodes_ref[pl.ds(2 * si + parity, 1), :]
             else:
                 row = nodes_ref[pl.ds(idx // NODES_PER_ROW, 1), :]
             rot = pltpu.roll(row, -(idx % NODES_PER_ROW) * NODE_STRIDE,
@@ -295,10 +288,17 @@ def _traverse_kernel(
             near_h = jnp.where(l_near, any_l, any_r)
             far_h = jnp.where(l_near, any_r, any_l)
 
-            stack_ref[si, jnp.minimum(sp, KSTACK - 1)] = far_e
-            sp = sp + jnp.where(far_h & (sp < KSTACK), 1, 0)
-            stack_ref[si, jnp.minimum(sp, KSTACK - 1)] = near_e
-            sp = sp + jnp.where(near_h & (sp < KSTACK), 1, 0)
+            # Branch-free guarded pushes: a push that is not taken (child
+            # not hit, or stack full) lands in the sacrificial slot KSTACK
+            # so it can never clobber a live entry (stack rows are KSTACK+1
+            # wide).  Overflow drops the far child — same degradation as
+            # the reference's depth clamp (bvh_traverse.comp.glsl:293-317).
+            far_ok = far_h & (sp < KSTACK)
+            stack_ref[si, jnp.where(far_ok, sp, KSTACK)] = far_e
+            sp = sp + far_ok.astype(jnp.int32)
+            near_ok = near_h & (sp < KSTACK)
+            stack_ref[si, jnp.where(near_ok, sp, KSTACK)] = near_e
+            sp = sp + near_ok.astype(jnp.int32)
             return sp, cap, best_t, slot, uu, vv, tt
 
         out = jax.lax.cond(
@@ -456,7 +456,7 @@ def _call_kernel(rfields, nodes, leaf_tris, *, any_hit, interpret, num_steps,
         dummy_enc=dummy_enc, dummy_leaf=dummy_leaf,
         stream_leaves=stream_leaves, stream_nodes=stream_nodes,
     )
-    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
     # streaming landing buffers double-buffer by iteration parity (2 rows
     # per slot) for the prefetch protocol
     leaf_scr = (
@@ -476,10 +476,12 @@ def _call_kernel(rfields, nodes, leaf_tris, *, any_hit, interpret, num_steps,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.SMEM((n_slots, KSTACK), jnp.int32),
+            # +1 sacrificial stack slot for branch-free guarded pushes
+            pltpu.SMEM((n_slots, KSTACK + 1), jnp.int32),
             node_scr,
             leaf_scr,
-            pltpu.SemaphoreType.DMA((3,)),
+            # 0-1: scene staging; 3+si: per-slot streaming prefetch
+            pltpu.SemaphoreType.DMA((3 + n_slots,)),
         ],
         interpret=interpret,
     )(*rfields, nodes, leaf_tris)

@@ -274,9 +274,9 @@ class RayRenderer:
                 )
                 fb.write(ch, rgba(rgb))
             elif ch == fbch.FRESNEL:
+                # shade_pass.h:868-884: r = g = n_dot_v, b = 0.3+0.7*n_dot_v
                 ndv = jnp.clip(surf.n_dot_v, 0.0, 1.0)
-                f = fresnel_schlick(1.0 - ndv, jnp.float32(0.04))
-                base = jnp.stack([ndv, 1.0 - ndv, f], axis=1)
+                base = jnp.stack([ndv, ndv, 0.3 + 0.7 * ndv], axis=1)
                 fb.write(ch, rgba(jnp.where(hit[:, None], base, 0.0)))
             else:
                 raise ValueError(f"unknown channel {ch}")

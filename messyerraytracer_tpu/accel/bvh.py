@@ -110,43 +110,44 @@ def _finalize_bvh(node_min, node_max, left_first, count, depth, axis,
                   order) -> BVH:
     """Assemble device arrays + per-depth level index lists.
 
-    Level index arrays ship to the device as ONE concatenated transfer and
-    are sliced into views — per-level transfers would pay tunneled-device
-    put latency dozens of times per build.
+    All slicing happens in numpy, then each final array is device_put
+    directly.  Puts through tunneled devices are cheap (67 MB in 0.07 s,
+    measured); what costs seconds is *eager device ops* — each slice/
+    reshape op pays a remote compile per new shape — so the host ships
+    finished arrays and runs zero device ops.
     """
     max_depth = int(depth.max()) if depth.size else 0
     sort_key = np.argsort(depth, kind="stable").astype(np.int32)
     counts = np.bincount(depth, minlength=max_depth + 1)
     offsets = np.concatenate([[0], np.cumsum(counts)])
-
-    # TWO device puts total (one f32, one i32): individual puts cost
-    # seconds each through tunneled devices; slicing on device is cheap.
-    m = node_min.shape[0]
-    n = order.shape[0]
-    fbuf = jnp.asarray(
-        np.concatenate([node_min.reshape(-1), node_max.reshape(-1)])
-        .astype(np.float32)
-    )
-    ibuf = jnp.asarray(
-        np.concatenate([
-            left_first.astype(np.int32), count.astype(np.int32),
-            axis.astype(np.int32), order.astype(np.int32), sort_key,
-        ])
-    )
-    all_levels = ibuf[3 * m + n:]
     levels = tuple(
-        all_levels[offsets[lvl]:offsets[lvl + 1]]
+        jnp.asarray(sort_key[offsets[lvl]:offsets[lvl + 1]])
         for lvl in range(max_depth + 1)
     )
-    return BVH(
-        aabb_min=fbuf[: 3 * m].reshape(m, 3),
-        aabb_max=fbuf[3 * m:].reshape(m, 3),
-        left_first=ibuf[:m],
-        count=ibuf[m : 2 * m],
-        tri_order=ibuf[3 * m : 3 * m + n],
-        split_axis=ibuf[2 * m : 3 * m],
+    b = BVH(
+        aabb_min=jnp.asarray(node_min.astype(np.float32)),
+        aabb_max=jnp.asarray(node_max.astype(np.float32)),
+        left_first=jnp.asarray(left_first.astype(np.int32)),
+        count=jnp.asarray(count.astype(np.int32)),
+        tri_order=jnp.asarray(order.astype(np.int32)),
+        split_axis=jnp.asarray(axis.astype(np.int32)),
         levels=levels,
     )
+    # Host mirror of the build outputs: device->host readbacks through
+    # tunneled devices take SECONDS-to-minutes (measured: a 400 KB
+    # tri_order fetch at 30-200 s), so every consumer that runs at build
+    # time (wide packing, VMEM routing, the tri permutation) reads these
+    # instead.  Plain object attribute — not a pytree leaf; absent after a
+    # jit round trip, in which case consumers fall back to a readback.
+    object.__setattr__(b, "host", {
+        "aabb_min": node_min.astype(np.float32),
+        "aabb_max": node_max.astype(np.float32),
+        "left_first": left_first.astype(np.int32),
+        "count": count.astype(np.int32),
+        "tri_order": order.astype(np.int32),
+        "split_axis": axis.astype(np.int32),
+    })
+    return b
 
 
 def build_bvh_over_aabbs(tri_min, tri_max, centroid) -> BVH:

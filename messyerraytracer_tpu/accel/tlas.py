@@ -45,6 +45,15 @@ from ..core.types import (
 from ..scene.scene import RayScene, build_scene, _refit_jit
 
 
+def _bvh_host(bvh, name):
+    """Host copy of a BVH build array without a device readback when the
+    builder's host mirror is present (tunneled readbacks cost seconds)."""
+    host = getattr(bvh, "host", None)
+    if host is not None and name in host:
+        return host[name]
+    return np.asarray(getattr(bvh, name))
+
+
 def _to_mat4(transform) -> np.ndarray:
     """Accept (4,4), (3,4), or (3,3) and return a (3,4) [R|t] float32."""
     m = np.asarray(transform, np.float32)
@@ -72,8 +81,8 @@ class MeshBLAS:
     def object_bounds(self):
         """Object-space AABB from the BLAS root (mesh_blas.h:190-200)."""
         return (
-            np.asarray(self.scene.bvh.aabb_min[0]),
-            np.asarray(self.scene.bvh.aabb_max[0]),
+            _bvh_host(self.scene.bvh, "aabb_min")[0],
+            _bvh_host(self.scene.bvh, "aabb_max")[0],
         )
 
 
@@ -165,7 +174,8 @@ class SceneTLAS:
             mesh_layers = np.asarray(self.meshes[inst.blas_id].scene.tris.layers)
             # instance layer mask ANDs with per-tri layers (we flatten in
             # original order, so invert the BLAS build permutation first)
-            perm = np.asarray(self.meshes[inst.blas_id].scene.bvh.tri_order)
+            perm = _bvh_host(self.meshes[inst.blas_id].scene.bvh,
+                             "tri_order")
             unperm = np.empty_like(perm)
             unperm[perm] = np.arange(perm.shape[0], dtype=perm.dtype)
             layers.append(mesh_layers[unperm] & inst.layers)
@@ -179,7 +189,7 @@ class SceneTLAS:
             world[:, 0], world[:, 1], world[:, 2],
             layers=flat_layers, backend=self.backend,
         )
-        perm = np.asarray(self.flat.bvh.tri_order)
+        perm = _bvh_host(self.flat.bvh, "tri_order")
         self._slot_inst = jnp.asarray(self._tri_inst[perm])
         self._obj_slots = jnp.asarray(self._obj_tris[perm])  # (F,3,3) device
         self._transforms_dev = jnp.asarray(

@@ -19,6 +19,7 @@ Numerical semantics preserved from the reference:
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..utils.struct import pytree_dataclass
 
@@ -170,15 +171,32 @@ def make_triangles(v0, v1, v2, prim_id=None, layers=None) -> Triangles:
 
     Matches the Triangle constructor (src/core/triangle.h:41-51).
     """
-    v0 = jnp.asarray(v0, jnp.float32)
-    v1 = jnp.asarray(v1, jnp.float32)
-    v2 = jnp.asarray(v2, jnp.float32)
-    t = v0.shape[0]
-    e1 = v1 - v0
-    e2 = v2 - v0
-    n = jnp.cross(e1, e2)
-    norm = jnp.linalg.norm(n, axis=-1, keepdims=True)
-    n = n / jnp.where(norm > 0.0, norm, 1.0)
+    if isinstance(v0, np.ndarray) and isinstance(v1, np.ndarray) \
+            and isinstance(v2, np.ndarray):
+        # Host inputs: derive in numpy and put the finished arrays —
+        # eager device ops pay a remote compile per shape on tunneled
+        # devices, host math + direct puts do not.
+        v0 = v0.astype(np.float32)
+        v1 = v1.astype(np.float32)
+        v2 = v2.astype(np.float32)
+        e1h = v1 - v0
+        e2h = v2 - v0
+        nh = np.cross(e1h, e2h)
+        nl = np.linalg.norm(nh, axis=-1, keepdims=True)
+        nh = nh / np.where(nl > 0.0, nl, 1.0)
+        v0, e1, e2, n = (jnp.asarray(v0), jnp.asarray(e1h),
+                         jnp.asarray(e2h), jnp.asarray(nh.astype(np.float32)))
+        t = v0.shape[0]
+    else:
+        v0 = jnp.asarray(v0, jnp.float32)
+        v1 = jnp.asarray(v1, jnp.float32)
+        v2 = jnp.asarray(v2, jnp.float32)
+        t = v0.shape[0]
+        e1 = v1 - v0
+        e2 = v2 - v0
+        n = jnp.cross(e1, e2)
+        norm = jnp.linalg.norm(n, axis=-1, keepdims=True)
+        n = n / jnp.where(norm > 0.0, norm, 1.0)
     if prim_id is None:
         prim_id = jnp.arange(t, dtype=jnp.int32)
     else:

@@ -60,14 +60,21 @@ from .wide import (
     LEAF_CAP,
     LEAF_STRIDE,
     LEAVES_PER_ROW,
+    NODE8_STRIDE,
     NODE_STRIDE,
+    NODES8_PER_ROW,
     NODES_PER_ROW,
+    WIDE8_CAP,
     WideScene,
 )
 
-SROWS = 8                      # sublane rows per ray tile = one vreg
-N_SLOTS = 2                    # interleaved independent tile traversals
+SROWS = 16                     # sublane rows per ray tile (measured best)
+DIM_SEMANTICS = "arbitrary"    # grid dimension semantics (perf knob)
+VMEM_LIMIT = 100 * 1024 * 1024  # Mosaic VMEM budget (perf/capacity knob)
+N_SLOTS = 1                    # interleaved tile traversals (1 measured best)
 KSTACK = 64                    # DFS stack depth (README.md:131)
+MAX_ITERS = 1 << 20            # runaway-loop guard per tile (the reference's
+                               # MAX_ITERATIONS, bvh_traverse.comp.glsl:158)
 _BIG = 3.0e38  # python float: jnp scalars would be captured consts in the kernel
 
 
@@ -77,9 +84,12 @@ def _traverse_kernel(
     t_out, slot_out, u_out, v_out, tt_out, pops_out,
     stack_ref, nodes_ref, leaf_ref, sems,       # scratch
     *, any_hit: bool, n_slots: int, dummy_enc: int, dummy_leaf: int,
-    stream_leaves: bool, stream_nodes: bool,
+    stream_leaves: bool, stream_nodes: bool, srows: int = SROWS,
+    branching: int = 2,
 ):
-    shape = (SROWS, 128)
+    shape = (srows, 128)
+    npr = NODES8_PER_ROW if branching == 8 else NODES_PER_ROW
+    nstride = NODE8_STRIDE if branching == 8 else NODE_STRIDE
 
     # Stage the scene into VMEM once: scratch persists across grid steps,
     # so only the first tile pays the HBM->VMEM copy (rather than every
@@ -110,12 +120,12 @@ def _traverse_kernel(
     # reduction/push chains overlap in the schedule.
     O, D, INV, TMIN, TMAX = [], [], [], [], []
     for si in range(n_slots):
-        r0 = si * SROWS
-        O.append((ox[r0:r0+SROWS, :], oy[r0:r0+SROWS, :], oz[r0:r0+SROWS, :]))
-        D.append((dx[r0:r0+SROWS, :], dy[r0:r0+SROWS, :], dz[r0:r0+SROWS, :]))
+        r0 = si * srows
+        O.append((ox[r0:r0+srows, :], oy[r0:r0+srows, :], oz[r0:r0+srows, :]))
+        D.append((dx[r0:r0+srows, :], dy[r0:r0+srows, :], dz[r0:r0+srows, :]))
         INV.append(tuple(safe_inv(x) for x in D[si]))
-        TMIN.append(tmn[r0:r0+SROWS, :])
-        TMAX.append(tmx[r0:r0+SROWS, :])
+        TMIN.append(tmn[r0:r0+srows, :])
+        TMAX.append(tmx[r0:r0+srows, :])
         stack_ref[si, 0] = jnp.int32(0)  # root (internal, leaf bit 0)
 
     # Per-tile dominant direction sign per axis: drives front-to-back child
@@ -140,7 +150,7 @@ def _traverse_kernel(
 
     def _node_copy(si, idx2, parity):
         return pltpu.make_async_copy(
-            nodes_hbm.at[pl.ds(idx2 // NODES_PER_ROW, 1), :],
+            nodes_hbm.at[pl.ds(idx2 // npr, 1), :],
             nodes_ref.at[pl.ds(2 * si + parity, 1), :], sems.at[3 + si],
         )
 
@@ -250,9 +260,8 @@ def _traverse_kernel(
                 _node_copy(si, idx, parity).wait()
                 row = nodes_ref[pl.ds(2 * si + parity, 1), :]
             else:
-                row = nodes_ref[pl.ds(idx // NODES_PER_ROW, 1), :]
-            rot = pltpu.roll(row, -(idx % NODES_PER_ROW) * NODE_STRIDE,
-                             axis=1)
+                row = nodes_ref[pl.ds(idx // npr, 1), :]
+            rot = pltpu.roll(row, -(idx % npr) * nstride, axis=1)
 
             def slab_hit(base):
                 tn = jnp.full(shape, -_BIG, jnp.float32)
@@ -264,41 +273,79 @@ def _traverse_kernel(
                     tf = jnp.minimum(tf, jnp.maximum(t1, t2))
                 return (tf >= jnp.maximum(tn, 0.0)) & (tn <= cap)
 
-            # ONE reduction for both children: bit-pack L hits above R
-            # hit counts (sums <= 1024 rays each, no carry between fields)
-            lhit = slab_hit(0)
-            rhit = slab_hit(6)
-            packed = lhit.astype(jnp.int32) * 65536 + rhit.astype(jnp.int32)
-            m = jnp.sum(packed)
-            any_l = m >= 65536
-            any_r = (m & 65535) > 0
+            if branching == 2:
+                # ONE reduction for both children: bit-pack L hits above R
+                # hit counts (sums <= 4096 rays each, no field carry)
+                lhit = slab_hit(0)
+                rhit = slab_hit(6)
+                packed = (lhit.astype(jnp.int32) * 65536
+                          + rhit.astype(jnp.int32))
+                m = jnp.sum(packed)
+                any_l = m >= 65536
+                any_r = (m & 65535) > 0
 
-            lenc = rot[0, 12].astype(jnp.int32)
-            renc = rot[0, 13].astype(jnp.int32)
-            axis = rot[0, 14].astype(jnp.int32)
-            # near child from the split axis + tile direction consensus:
-            # left child holds the lower-coordinate half, so it is near
-            # when the dominant direction along the axis is positive
-            sgn = SIGN[si]
-            l_near = jnp.where(
-                axis == 0, sgn[0], jnp.where(axis == 1, sgn[1], sgn[2])
-            )
-            near_e = jnp.where(l_near, lenc, renc)
-            far_e = jnp.where(l_near, renc, lenc)
-            near_h = jnp.where(l_near, any_l, any_r)
-            far_h = jnp.where(l_near, any_r, any_l)
+                lenc = rot[0, 12].astype(jnp.int32)
+                renc = rot[0, 13].astype(jnp.int32)
+                axis = rot[0, 14].astype(jnp.int32)
+                # near child from the split axis + tile direction
+                # consensus: left child holds the lower-coordinate half,
+                # so it is near when the dominant direction is positive
+                sgn = SIGN[si]
+                l_near = jnp.where(
+                    axis == 0, sgn[0], jnp.where(axis == 1, sgn[1], sgn[2])
+                )
+                order = (
+                    (jnp.where(l_near, renc, lenc), jnp.where(l_near, any_r, any_l)),
+                    (jnp.where(l_near, lenc, renc), jnp.where(l_near, any_l, any_r)),
+                )
+            else:
+                # 8-wide node: 8 slab tests, then per-column "any" packed
+                # 4 children per int32 (8-bit fields; column-any <= 1 per
+                # lane so field sums <= 128 — exact) -> TWO scalar
+                # reductions test all eight children (the CWBVH move:
+                # cwbvh_traverse.comp.glsl's two 4-child batches).
+                lo = hi = None
+                for k in range(WIDE8_CAP):
+                    hk = slab_hit(6 * k)
+                    col = jnp.max(hk.astype(jnp.int32), axis=0,
+                                  keepdims=True)
+                    term = col * (1 << (8 * (k % 4)))
+                    if k < 4:
+                        lo = term if lo is None else lo + term
+                    else:
+                        hi = term if hi is None else hi + term
+                m_lo = jnp.sum(lo)
+                m_hi = jnp.sum(hi)
+                anyk = [
+                    (jax.lax.shift_right_logical(
+                        m_lo if k < 4 else m_hi, 8 * (k % 4)) & 255) > 0
+                    for k in range(WIDE8_CAP)
+                ]
+                encs = [rot[0, 48 + k].astype(jnp.int32)
+                        for k in range(WIDE8_CAP)]
+                axis = rot[0, 56].astype(jnp.int32)
+                sgn = SIGN[si]
+                fwd = jnp.where(
+                    axis == 0, sgn[0], jnp.where(axis == 1, sgn[1], sgn[2])
+                )
+                # children sorted ascending along axis at build: traverse
+                # far-to-near so the near child pops first; rank j from
+                # the far end is child j reversed by direction consensus
+                order = tuple(
+                    (jnp.where(fwd, encs[j], encs[WIDE8_CAP - 1 - j]),
+                     jnp.where(fwd, anyk[j], anyk[WIDE8_CAP - 1 - j]))
+                    for j in range(WIDE8_CAP - 1, -1, -1)
+                )
 
             # Branch-free guarded pushes: a push that is not taken (child
             # not hit, or stack full) lands in the sacrificial slot KSTACK
             # so it can never clobber a live entry (stack rows are KSTACK+1
-            # wide).  Overflow drops the far child — same degradation as
+            # wide).  Overflow drops far children — same degradation as
             # the reference's depth clamp (bvh_traverse.comp.glsl:293-317).
-            far_ok = far_h & (sp < KSTACK)
-            stack_ref[si, jnp.where(far_ok, sp, KSTACK)] = far_e
-            sp = sp + far_ok.astype(jnp.int32)
-            near_ok = near_h & (sp < KSTACK)
-            stack_ref[si, jnp.where(near_ok, sp, KSTACK)] = near_e
-            sp = sp + near_ok.astype(jnp.int32)
+            for e_j, h_j in order:
+                ok = h_j & (sp < KSTACK)
+                stack_ref[si, jnp.where(ok, sp, KSTACK)] = e_j
+                sp = sp + ok.astype(jnp.int32)
             return sp, cap, best_t, slot, uu, vv, tt
 
         out = jax.lax.cond(
@@ -416,14 +463,14 @@ def _traverse_kernel(
             _final_wait(si, ecs[si], it & 1)
 
     for si in range(n_slots):
-        r0 = si * SROWS
+        r0 = si * srows
         found = slots[si] >= 0
-        t_out[r0:r0+SROWS, :] = jnp.where(found, bts[si], T_MAX_DEFAULT)
-        slot_out[r0:r0+SROWS, :] = slots[si]
-        u_out[r0:r0+SROWS, :] = jnp.where(found, uus[si], 0.0)
-        v_out[r0:r0+SROWS, :] = jnp.where(found, vvs[si], 0.0)
-        tt_out[r0:r0+SROWS, :] = tts[si]
-    pops_out[:, :] = jnp.full((n_slots * SROWS, 128), pops, jnp.int32)
+        t_out[r0:r0+srows, :] = jnp.where(found, bts[si], T_MAX_DEFAULT)
+        slot_out[r0:r0+srows, :] = slots[si]
+        u_out[r0:r0+srows, :] = jnp.where(found, uus[si], 0.0)
+        v_out[r0:r0+srows, :] = jnp.where(found, vvs[si], 0.0)
+        tt_out[r0:r0+srows, :] = tts[si]
+    pops_out[:, :] = jnp.full((n_slots * srows, 128), pops, jnp.int32)
 
 
 def _on_tpu() -> bool:
@@ -435,9 +482,9 @@ def _on_tpu() -> bool:
 
 def _call_kernel(rfields, nodes, leaf_tris, *, any_hit, interpret, num_steps,
                  n_slots, dummy_enc, dummy_leaf, stream_leaves=False,
-                 stream_nodes=False):
+                 stream_nodes=False, srows=SROWS, branching=2):
     grid = (num_steps,)
-    rows = n_slots * SROWS
+    rows = n_slots * srows
     ray_spec = pl.BlockSpec(
         (rows, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
@@ -454,7 +501,8 @@ def _call_kernel(rfields, nodes, leaf_tris, *, any_hit, interpret, num_steps,
     kern = functools.partial(
         _traverse_kernel, any_hit=any_hit, n_slots=n_slots,
         dummy_enc=dummy_enc, dummy_leaf=dummy_leaf,
-        stream_leaves=stream_leaves, stream_nodes=stream_nodes,
+        stream_leaves=stream_leaves, stream_nodes=stream_nodes, srows=srows,
+        branching=branching,
     )
     hbm = pl.BlockSpec(memory_space=pl.ANY)
     # streaming landing buffers double-buffer by iteration parity (2 rows
@@ -469,9 +517,14 @@ def _call_kernel(rfields, nodes, leaf_tris, *, any_hit, interpret, num_steps,
         if stream_nodes
         else pltpu.VMEM(nodes.shape, jnp.float32)
     )
+    cp = pltpu.CompilerParams(
+        dimension_semantics=(DIM_SEMANTICS,) if DIM_SEMANTICS else None,
+        vmem_limit_bytes=VMEM_LIMIT,
+    )
     return pl.pallas_call(
         kern,
         grid=grid,
+        compiler_params=cp,
         in_specs=[ray_spec] * 8 + [hbm, hbm],
         out_specs=out_specs,
         out_shape=out_shape,
@@ -487,6 +540,331 @@ def _call_kernel(rfields, nodes, leaf_tris, *, any_hit, interpret, num_steps,
     )(*rfields, nodes, leaf_tris)
 
 
+def _mega_kernel(
+    rays_hbm,                   # (T*8*srows, 128) f32, field-major per tile
+    nodes_hbm, leaf_hbm,        # scene (HBM)
+    fout_hbm, iout_hbm,         # (T*3*srows, 128) f32, (T*2*srows, 128) i32
+    pops_out,                   # (1, 1) i32 SMEM
+    ray_buf, fbuf, ibuf, stack_ref, queue_ref, nodes_ref, leaf_ref, sems,
+    *, any_hit: bool, dummy_enc: int, dummy_leaf: int, srows: int,
+    branching: int, num_tiles: int, qdrain: int,
+):
+    """Single-invocation traversal over ALL ray tiles (the "megakernel").
+
+    Two structural moves vs the grid kernel:
+
+    1. **Kernel-owned pipeline.**  A fori_loop over tiles with manually
+       double-buffered DMAs (ray tile i+1 prefetched while tile i
+       traverses; results DMA out while tile i+1 traverses) — the TPU
+       version of the reference's persistent GPU dispatch (one
+       compute_list for the whole batch, gpu_ray_caster.cpp:683-693).
+
+    2. **Branch-free split traversal (leaf queue).**  The serial cost of a
+       pop is its vector->scalar reduction + SMEM round trip; a lax.cond
+       leaf/internal split serializes everything behind it.  Here the
+       stack holds ONLY internal nodes — leaf children are appended to a
+       small SMEM ring queue and intersected in dense batches of
+       ``qdrain`` per iteration.  Leaf batches are straight-line vector
+       code whose row indices are already known scalars, so their fetch/
+       MT chains pipeline under the node pop's reduction latency instead
+       of serializing after it (the wavefront Extend/Shade split of
+       gpu_path_tracer.cpp:251-283, folded into one kernel).
+
+    Resident scenes only — streaming tiers use the grid kernel.
+    """
+    shape = (srows, 128)
+    npr = NODES8_PER_ROW if branching == 8 else NODES_PER_ROW
+    nstride = NODE8_STRIDE if branching == 8 else NODE_STRIDE
+    rrows = 8 * srows
+    frows = 3 * srows
+    irows = 2 * srows
+    dummy_node = dummy_enc >> 1
+
+    def _ray_in(i, pb):
+        return pltpu.make_async_copy(
+            rays_hbm.at[pl.ds(i * rrows, rrows), :],
+            ray_buf.at[pl.ds(pb * rrows, rrows), :], sems.at[2 + pb],
+        )
+
+    def _f_out(i, pb):
+        return pltpu.make_async_copy(
+            fbuf.at[pl.ds(pb * frows, frows), :],
+            fout_hbm.at[pl.ds(i * frows, frows), :], sems.at[4 + pb],
+        )
+
+    def _i_out(i, pb):
+        return pltpu.make_async_copy(
+            ibuf.at[pl.ds(pb * irows, irows), :],
+            iout_hbm.at[pl.ds(i * irows, irows), :], sems.at[6 + pb],
+        )
+
+    # stage the scene; prefetch ray tile 0 behind the same DMA engine
+    c1 = pltpu.make_async_copy(nodes_hbm, nodes_ref, sems.at[0])
+    c1.start()
+    c2 = pltpu.make_async_copy(leaf_hbm, leaf_ref, sems.at[1])
+    c2.start()
+    _ray_in(0, 0).start()
+    c1.wait()
+    c2.wait()
+
+    def safe_inv(x):
+        small = jnp.abs(x) < INV_DIR_EPS
+        sign = jnp.where(x < 0.0, -1.0, 1.0)
+        return jnp.where(small, sign / INV_DIR_EPS,
+                         1.0 / jnp.where(small, 1.0, x))
+
+    def tile_body(i, pops_total):
+        pb = i & 1
+        _ray_in(i, pb).wait()
+
+        @pl.when(i + 1 < num_tiles)
+        def _():
+            _ray_in(i + 1, 1 - pb).start()
+
+        base = pb * rrows
+        o = tuple(ray_buf[pl.ds(base + f * srows, srows), :]
+                  for f in range(3))
+        d = tuple(ray_buf[pl.ds(base + (3 + f) * srows, srows), :]
+                  for f in range(3))
+        t_min = ray_buf[pl.ds(base + 6 * srows, srows), :]
+        t_max = ray_buf[pl.ds(base + 7 * srows, srows), :]
+        inv = tuple(safe_inv(x) for x in d)
+        sgn = tuple(jnp.sum(d[a]) >= 0.0 for a in range(3))
+        stack_ref[0, 0] = jnp.int32(0)   # root node index
+
+        def step(c):
+            (sp, qh, qt, cap, best_t, slot, uu, vv, tt, pops, done) = c
+
+            # ---- drain up to qdrain queued leaves (branch-free dense
+            # batch; absent slots fetch the all-zero dummy leaf) --------
+            qlen = qt - qh
+            for j in range(qdrain):
+                li = jnp.where(j < qlen, queue_ref[0, (qh + j) & 15],
+                               jnp.int32(dummy_leaf))
+                row = leaf_ref[pl.ds(li // LEAVES_PER_ROW, 1), :]
+                rot = pltpu.roll(row, -(li % LEAVES_PER_ROW) * LEAF_STRIDE,
+                                 axis=1)
+                for k in range(LEAF_CAP):
+                    b = 9 * k
+                    v0 = (rot[0, b], rot[0, b + 1], rot[0, b + 2])
+                    e1 = (rot[0, b + 3], rot[0, b + 4], rot[0, b + 5])
+                    e2 = (rot[0, b + 6], rot[0, b + 7], rot[0, b + 8])
+                    pvx = d[1] * e2[2] - d[2] * e2[1]
+                    pvy = d[2] * e2[0] - d[0] * e2[2]
+                    pvz = d[0] * e2[1] - d[1] * e2[0]
+                    det = e1[0] * pvx + e1[1] * pvy + e1[2] * pvz
+                    ok = jnp.abs(det) >= MT_DET_EPS
+                    idet = 1.0 / jnp.where(ok, det, 1.0)
+                    tvx = o[0] - v0[0]
+                    tvy = o[1] - v0[1]
+                    tvz = o[2] - v0[2]
+                    u = (tvx * pvx + tvy * pvy + tvz * pvz) * idet
+                    qvx = tvy * e1[2] - tvz * e1[1]
+                    qvy = tvz * e1[0] - tvx * e1[2]
+                    qvz = tvx * e1[1] - tvy * e1[0]
+                    v = (d[0] * qvx + d[1] * qvy + d[2] * qvz) * idet
+                    t = (e2[0] * qvx + e2[1] * qvy + e2[2] * qvz) * idet
+                    valid = (
+                        ok
+                        & (u >= 0.0) & (u <= 1.0)
+                        & (v >= 0.0) & (u + v <= 1.0)
+                        & (t >= t_min) & (t <= t_max)
+                        & (t < best_t)
+                    )
+                    cand = li * LEAF_CAP + k
+                    best_t = jnp.where(valid, t, best_t)
+                    slot = jnp.where(valid, cand, slot)
+                    uu = jnp.where(valid, u, uu)
+                    vv = jnp.where(valid, v, vv)
+                tt = tt + rot[0, 36].astype(jnp.int32)
+            qh = qh + jnp.minimum(qlen, qdrain)
+            cap = jnp.minimum(best_t, t_max)
+
+            # ---- one internal-node pop (branch-free: when the stack is
+            # empty or the queue lacks room the NaN dummy node pops — no
+            # hits, no pushes) -------------------------------------------
+            room = (qt - qh) <= 16 - branching
+            active = (sp > 0) & room
+            nidx = jnp.where(active, stack_ref[0, jnp.maximum(sp - 1, 0)],
+                             jnp.int32(dummy_node))
+            sp = jnp.where(active, sp - 1, sp)
+            pops = pops + active.astype(jnp.int32)
+            row = nodes_ref[pl.ds(nidx // npr, 1), :]
+            rot = pltpu.roll(row, -(nidx % npr) * nstride, axis=1)
+
+            def slab_hit(b0):
+                tn = jnp.full(shape, -_BIG, jnp.float32)
+                tf = jnp.full(shape, _BIG, jnp.float32)
+                for a in range(3):
+                    t1 = (rot[0, b0 + a] - o[a]) * inv[a]
+                    t2 = (rot[0, b0 + 3 + a] - o[a]) * inv[a]
+                    tn = jnp.maximum(tn, jnp.minimum(t1, t2))
+                    tf = jnp.minimum(tf, jnp.maximum(t1, t2))
+                return (tf >= jnp.maximum(tn, 0.0)) & (tn <= cap)
+
+            if branching == 2:
+                lhit = slab_hit(0)
+                rhit = slab_hit(6)
+                packed = (lhit.astype(jnp.int32) * 65536
+                          + rhit.astype(jnp.int32))
+                m = jnp.sum(packed)
+                any_l = m >= 65536
+                any_r = (m & 65535) > 0
+                lenc = rot[0, 12].astype(jnp.int32)
+                renc = rot[0, 13].astype(jnp.int32)
+                axis = rot[0, 14].astype(jnp.int32)
+                l_near = jnp.where(
+                    axis == 0, sgn[0], jnp.where(axis == 1, sgn[1], sgn[2])
+                )
+                order = (
+                    (jnp.where(l_near, renc, lenc),
+                     jnp.where(l_near, any_r, any_l)),
+                    (jnp.where(l_near, lenc, renc),
+                     jnp.where(l_near, any_l, any_r)),
+                )
+            else:
+                lo = hi = None
+                for k in range(WIDE8_CAP):
+                    hk = slab_hit(6 * k)
+                    col = jnp.max(hk.astype(jnp.int32), axis=0,
+                                  keepdims=True)
+                    term = col * (1 << (8 * (k % 4)))
+                    if k < 4:
+                        lo = term if lo is None else lo + term
+                    else:
+                        hi = term if hi is None else hi + term
+                m_lo = jnp.sum(lo)
+                m_hi = jnp.sum(hi)
+                anyk = [
+                    (jax.lax.shift_right_logical(
+                        m_lo if k < 4 else m_hi, 8 * (k % 4)) & 255) > 0
+                    for k in range(WIDE8_CAP)
+                ]
+                encs = [rot[0, 48 + k].astype(jnp.int32)
+                        for k in range(WIDE8_CAP)]
+                axis = rot[0, 56].astype(jnp.int32)
+                fwd = jnp.where(
+                    axis == 0, sgn[0], jnp.where(axis == 1, sgn[1], sgn[2])
+                )
+                order = tuple(
+                    (jnp.where(fwd, encs[j], encs[WIDE8_CAP - 1 - j]),
+                     jnp.where(fwd, anyk[j], anyk[WIDE8_CAP - 1 - j]))
+                    for j in range(WIDE8_CAP - 1, -1, -1)
+                )
+
+            # Route children: hit leaves -> ring queue (room was reserved
+            # above), hit internals -> stack.  Untaken writes land in
+            # sacrificial slots (queue lane 16 / stack lane KSTACK).
+            for e_j, h_j in order:
+                isleaf = (e_j & 1) == 1
+                tgt = jax.lax.shift_right_logical(e_j, 1)
+                wq = h_j & isleaf
+                queue_ref[0, jnp.where(wq, qt & 15, 16)] = tgt
+                qt = qt + wq.astype(jnp.int32)
+                ws = h_j & jnp.logical_not(isleaf) & (sp < KSTACK)
+                stack_ref[0, jnp.where(ws, sp, KSTACK)] = tgt
+                sp = sp + ws.astype(jnp.int32)
+
+            if any_hit:
+                done = jnp.min(slot) >= 0
+            return (sp, qh, qt, cap, best_t, slot, uu, vv, tt, pops, done)
+
+        def cond(c):
+            alive = ((c[0] > 0) | (c[2] > c[1])) & (c[9] < MAX_ITERS)
+            if any_hit:
+                alive = alive & jnp.logical_not(c[10])
+            return alive
+
+        init = (
+            jnp.int32(1),                 # sp (root pushed)
+            jnp.int32(0), jnp.int32(0),   # qh, qt
+            jnp.minimum(jnp.full(shape, _BIG, jnp.float32), t_max),
+            jnp.full(shape, _BIG, jnp.float32),
+            jnp.full(shape, -1, jnp.int32),
+            jnp.zeros(shape, jnp.float32),
+            jnp.zeros(shape, jnp.float32),
+            jnp.zeros(shape, jnp.int32),
+            jnp.int32(0),
+            jnp.bool_(False),
+        )
+        (_, _, _, _, best_t, slot, uu, vv, tt, pops, _) = (
+            jax.lax.while_loop(cond, step, init)
+        )
+
+        # reuse of the parity output buffers: tile i-2's DMAs must be done
+        @pl.when(i >= 2)
+        def _():
+            _f_out(i - 2, pb).wait()
+            _i_out(i - 2, pb).wait()
+
+        found = slot >= 0
+        fb = pb * frows
+        ib = pb * irows
+        fbuf[pl.ds(fb, srows), :] = jnp.where(found, best_t, T_MAX_DEFAULT)
+        fbuf[pl.ds(fb + srows, srows), :] = jnp.where(found, uu, 0.0)
+        fbuf[pl.ds(fb + 2 * srows, srows), :] = jnp.where(found, vv, 0.0)
+        ibuf[pl.ds(ib, srows), :] = slot
+        ibuf[pl.ds(ib + srows, srows), :] = tt
+        _f_out(i, pb).start()
+        _i_out(i, pb).start()
+        return pops_total + pops
+
+    pops_total = jax.lax.fori_loop(0, num_tiles, tile_body, jnp.int32(0))
+    # drain the last (up to) two outstanding output DMA pairs
+    for i in range(max(num_tiles - 2, 0), num_tiles):
+        _f_out(i, i & 1).wait()
+        _i_out(i, i & 1).wait()
+    pops_out[0, 0] = pops_total
+
+
+QDRAIN = 4  # queued leaves intersected per traversal iteration
+
+
+def _call_mega(rays_packed, nodes, leaf_tris, *, any_hit, interpret,
+               num_tiles, dummy_enc, dummy_leaf, srows, branching,
+               qdrain=None):
+    if qdrain is None:
+        qdrain = QDRAIN
+    rrows = 8 * srows
+    frows = 3 * srows
+    irows = 2 * srows
+    kern = functools.partial(
+        _mega_kernel, any_hit=any_hit, dummy_enc=dummy_enc,
+        dummy_leaf=dummy_leaf, srows=srows, branching=branching,
+        num_tiles=num_tiles, qdrain=qdrain,
+    )
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
+    cp = pltpu.CompilerParams(
+        vmem_limit_bytes=VMEM_LIMIT,
+    )
+    return pl.pallas_call(
+        kern,
+        compiler_params=cp,
+        in_specs=[hbm, hbm, hbm],
+        out_specs=(
+            hbm, hbm,
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((num_tiles * frows, 128), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles * irows, 128), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2 * rrows, 128), jnp.float32),   # ray tiles (dbuf)
+            pltpu.VMEM((2 * frows, 128), jnp.float32),   # f32 out (dbuf)
+            pltpu.VMEM((2 * irows, 128), jnp.int32),     # i32 out (dbuf)
+            pltpu.SMEM((1, KSTACK + 1), jnp.int32),
+            pltpu.SMEM((1, 17), jnp.int32),   # leaf ring queue + sacrificial
+            pltpu.VMEM(nodes.shape, jnp.float32),
+            pltpu.VMEM(leaf_tris.shape, jnp.float32),
+            # 0-1 scene staging; 2+pb ray-in; 4+pb f-out; 6+pb i-out
+            pltpu.SemaphoreType.DMA((8,)),
+        ],
+        interpret=interpret,
+    )(rays_packed, nodes, leaf_tris)
+
+
 def cast_rays_wide(
     rays: Rays,
     scene: WideScene,
@@ -496,8 +874,10 @@ def cast_rays_wide(
     n_slots: int = N_SLOTS,
     stream_leaves: bool | None = None,
     stream_nodes: bool | None = None,
+    srows: int = SROWS,
 ) -> tuple[Hits, RayStats, jnp.ndarray]:
-    """Cast a ray batch through the wide-node scene with the Pallas kernel.
+    """Cast a ray batch through the wide-node scene (binary dual-AABB or
+    8-wide, per ``scene.branching``) with the Pallas kernel.
 
     ``query_mask`` must be a static Python int (it selects a pre-masked
     triangle view; -1 = all layers skips the masking pass entirely).
@@ -516,15 +896,15 @@ def cast_rays_wide(
     return _cast_rays_wide_jit(
         rays, scene, query_mask=int(query_mask), any_hit=any_hit,
         interpret=interpret, n_slots=n_slots, stream_leaves=stream_leaves,
-        stream_nodes=stream_nodes,
-    )
+        stream_nodes=stream_nodes, srows=srows,
+    )  # branching rides on scene (static pytree meta)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "query_mask", "any_hit", "interpret", "n_slots", "stream_leaves",
-        "stream_nodes",
+        "stream_nodes", "srows",
     ),
 )
 def _cast_rays_wide_jit(
@@ -537,15 +917,27 @@ def _cast_rays_wide_jit(
     n_slots: int,
     stream_leaves: bool,
     stream_nodes: bool,
+    srows: int = SROWS,
 ) -> tuple[Hits, RayStats, jnp.ndarray]:
     n = rays.count
-    step = n_slots * SROWS * 128
-    pad = (-n) % step
-    num_steps = (n + pad) // step
+    mega = not (stream_leaves or stream_nodes)
+    rows_per_step = srows if mega else n_slots * srows
+    step = rows_per_step * 128
+    num_steps = -(-n // step)
+    # Bucket the tile count (1/1.5/2 x pow2) so nearby batch sizes reuse
+    # the compiled kernel: tile count is static, and a fully-padded tile
+    # costs ~one pop (its rays have t_max<t_min, so the root test fails).
+    b = 1
+    while b < num_steps:
+        b *= 2
+    if num_steps > b // 2 and num_steps <= 3 * b // 4 and b >= 4:
+        b = 3 * b // 4
+    num_steps = b
+    pad = num_steps * step - n
 
     def fld(x, fillv):
         x = jnp.concatenate([x, jnp.full((pad,), fillv, x.dtype)]) if pad else x
-        return x.reshape(num_steps * n_slots * SROWS, 128)
+        return x.reshape(num_steps * rows_per_step, 128)
 
     rfields = (
         fld(rays.origin[:, 0], 0.0), fld(rays.origin[:, 1], 0.0),
@@ -559,20 +951,39 @@ def _cast_rays_wide_jit(
     if query_mask != -1:
         leaf_tris = _mask_leaf_tris(scene, query_mask)
 
-    t, slot, u, v, tt, pops = _call_kernel(
-        rfields, scene.nodes, leaf_tris,
-        any_hit=any_hit, interpret=interpret, num_steps=num_steps,
-        n_slots=n_slots, dummy_enc=scene.dummy_enc,
-        dummy_leaf=scene.dummy_leaf, stream_leaves=stream_leaves,
-        stream_nodes=stream_nodes,
-    )
-
-    t = t.reshape(-1)[:n]
-    slot = slot.reshape(-1)[:n]
-    u = u.reshape(-1)[:n]
-    v = v.reshape(-1)[:n]
-    tt = tt.reshape(-1)[:n]
-    pops = pops.reshape(num_steps, n_slots * SROWS, 128)[:, 0, 0]
+    if mega:
+        packed = jnp.stack(
+            [f.reshape(num_steps, srows, 128) for f in rfields], axis=1
+        ).reshape(num_steps * 8 * srows, 128)
+        fout, iout, pops_tot = _call_mega(
+            packed, scene.nodes, leaf_tris,
+            any_hit=any_hit, interpret=interpret, num_tiles=num_steps,
+            dummy_enc=scene.dummy_enc, dummy_leaf=scene.dummy_leaf,
+            srows=srows, branching=scene.branching,
+        )
+        f4 = fout.reshape(num_steps, 3, srows * 128)
+        i4 = iout.reshape(num_steps, 2, srows * 128)
+        t = f4[:, 0].reshape(-1)[:n]
+        u = f4[:, 1].reshape(-1)[:n]
+        v = f4[:, 2].reshape(-1)[:n]
+        slot = i4[:, 0].reshape(-1)[:n]
+        tt = i4[:, 1].reshape(-1)[:n]
+        pops = pops_tot[0, 0][None]
+    else:
+        t, slot, u, v, tt, pops = _call_kernel(
+            rfields, scene.nodes, leaf_tris,
+            any_hit=any_hit, interpret=interpret, num_steps=num_steps,
+            n_slots=n_slots, dummy_enc=scene.dummy_enc,
+            dummy_leaf=scene.dummy_leaf, stream_leaves=stream_leaves,
+            stream_nodes=stream_nodes, srows=srows,
+            branching=scene.branching,
+        )
+        t = t.reshape(-1)[:n]
+        slot = slot.reshape(-1)[:n]
+        u = u.reshape(-1)[:n]
+        v = v.reshape(-1)[:n]
+        tt = tt.reshape(-1)[:n]
+        pops = pops.reshape(num_steps, n_slots * srows, 128)[:, 0, 0]
 
     found = slot >= 0
     gslot = jnp.maximum(slot, 0)
@@ -589,7 +1000,8 @@ def _cast_rays_wide_jit(
     )
     stats = RayStats(
         rays_cast=jnp.int32(n),
-        tri_tests=jnp.sum(tt),
+        # f32 accumulation: i32 overflows on ~1M-ray x 1M-tri casts
+        tri_tests=jnp.sum(tt.astype(jnp.float32)),
         bvh_nodes_visited=jnp.sum(pops),
         hits=jnp.sum(found.astype(jnp.int32)),
     )

@@ -44,14 +44,25 @@ from ..core.types import Triangles
 from ..utils.struct import pytree_dataclass
 from ..accel.bvh import BVH
 
-NODES_PER_ROW = 8     # 16 lanes each
+NODES_PER_ROW = 8     # 16 lanes each (binary dual-AABB nodes)
 NODE_STRIDE = 16
 LEAVES_PER_ROW = 2    # 64 lanes each
 LEAF_STRIDE = 64
 LEAF_CAP = 4          # MAX_LEAF_SIZE
 
+# 8-wide nodes (the CWBVH-class layout, tiny_bvh.h BVH8 + Ylitie'17 shape):
+# one row fetch tests EIGHT children, collapsing ~3 binary levels per pop.
+# Lanes per node: [child k box at 6k..6k+5 (min.xyz,max.xyz), k<8] +
+# [enc_k at 48+k] + [sort axis at 56] + pad.  Missing children have NaN
+# boxes (never hit).  Children are sorted along the axis of maximum
+# centroid spread for front-to-back ordering by tile direction consensus.
+NODES8_PER_ROW = 2
+NODE8_STRIDE = 64
+WIDE8_CAP = 8
 
-@pytree_dataclass(meta_fields=("dummy_enc", "dummy_leaf", "stream_leaves", "stream_nodes"))
+
+@pytree_dataclass(meta_fields=("dummy_enc", "dummy_leaf", "stream_leaves",
+                               "stream_nodes", "branching"))
 class WideScene:
     """Device arrays consumed by the Pallas traversal kernel."""
 
@@ -69,6 +80,7 @@ class WideScene:
     dummy_leaf: int            # index of the all-zero dummy leaf (no-op MT)
     stream_leaves: bool = False  # leaf rows stay in HBM, DMA'd per pop
     stream_nodes: bool = False   # node rows too (very large scenes)
+    branching: int = 2           # node arity: 2 (dual-AABB) or 8 (wide8)
 
     @property
     def num_leaves(self) -> int:
@@ -96,10 +108,15 @@ def build_wide_scene(bvh: BVH, tris: Triangles, _np=None,
     ``_np`` optionally provides host copies (v0, e1, e2, normal, prim_id,
     layers) to skip device->host readbacks of ``tris``.
     """
-    amin = np.asarray(bvh.aabb_min)
-    amax = np.asarray(bvh.aabb_max)
-    lf = np.asarray(bvh.left_first)
-    cnt = np.asarray(bvh.count)
+    host = getattr(bvh, "host", None)
+    if host is not None:
+        amin, amax = host["aabb_min"], host["aabb_max"]
+        lf, cnt = host["left_first"], host["count"]
+    else:
+        amin = np.asarray(bvh.aabb_min)
+        amax = np.asarray(bvh.aabb_max)
+        lf = np.asarray(bvh.left_first)
+        cnt = np.asarray(bvh.count)
     m = amin.shape[0]
 
     if _np is not None:
@@ -159,7 +176,8 @@ def build_wide_scene(bvh: BVH, tris: Triangles, _np=None,
         nidx[:ni, 12] = cb + w
         nidx[:ni, 13] = cb + num_wide + w
         nidx[:ni, 14] = cb + 2 * num_wide + w
-        waxis[:ni] = np.asarray(bvh.split_axis)[internal].astype(np.float32)
+        waxis[:ni] = (host["split_axis"] if host is not None
+                      else np.asarray(bvh.split_axis))[internal].astype(np.float32)
         # child meta packed to ONE float each: enc = 2*ptr + is_leaf
         # (exact for ptr < 2^23)
         lptr = np.where(is_leaf[l], leaf_of[l], wide_of[l])
@@ -233,6 +251,189 @@ def build_wide_scene(bvh: BVH, tris: Triangles, _np=None,
         dummy_leaf=num_leaf,
         stream_leaves=stream_leaves,
         stream_nodes=stream_nodes,
+    )
+
+
+def _collapse8(amin: np.ndarray, amax: np.ndarray, lf: np.ndarray,
+               cnt: np.ndarray):
+    """Collapse the binary DFS BVH into an 8-wide tree (host).
+
+    Greedy: starting from a node's two children, repeatedly expand the
+    internal child with the largest surface area until 8 children (the
+    standard BVH2->BVH8 collapse, tiny_bvh.h BVH8 conversion shape).
+    Returns (children, axis): ``children`` is an (W, 8) int32 array of
+    binary node ids (-1 = missing), sorted per node along ``axis`` (W,)
+    by box centroid for consensus front-to-back ordering.
+    """
+    is_leaf = cnt > 0
+    ext = np.maximum(amax - amin, 0.0)
+    area = ext[:, 0] * ext[:, 1] + ext[:, 1] * ext[:, 2] + ext[:, 2] * ext[:, 0]
+    cent = (amin + amax) * 0.5
+
+    if bool(is_leaf[0]):
+        # degenerate: root is a leaf — one wide node holding it
+        return (np.array([[0] + [-1] * 7], np.int64), np.zeros(1, np.int64))
+
+    children: list[list[int]] = []
+    axes_out: list[int] = []
+    queue = [0]          # binary ids that become wide nodes (BFS order)
+    while queue:
+        nxt: list[int] = []
+        for b in queue:
+            kids = [b + 1, int(lf[b])]
+            while len(kids) < WIDE8_CAP:
+                best, ba = -1, -1.0
+                for i, kd in enumerate(kids):
+                    if not is_leaf[kd] and area[kd] > ba:
+                        ba, best = float(area[kd]), i
+                if best < 0:
+                    break
+                kd = kids.pop(best)
+                kids.extend([kd + 1, int(lf[kd])])
+            ck = cent[kids]
+            ax = int(np.argmax(ck.max(0) - ck.min(0)))
+            kids = [kids[i] for i in np.argsort(ck[:, ax], kind="stable")]
+            children.append(kids + [-1] * (WIDE8_CAP - len(kids)))
+            axes_out.append(ax)
+            nxt.extend(kd for kd in kids if kd >= 0 and not is_leaf[kd])
+        queue = nxt
+    return np.asarray(children, np.int64), np.asarray(axes_out, np.int64)
+
+
+def build_wide8_scene(bvh: BVH, tris: Triangles, _np=None,
+                      stream_leaves: bool = False,
+                      stream_nodes: bool = False) -> WideScene:
+    """Convert a DFS binary BVH to the 8-wide lane-packed layout (host).
+
+    Same gather-based packing contract as ``build_wide_scene`` (so
+    ``refresh_wide_scene`` works unchanged for refits); nodes use the
+    wide8 layout (NODE8_STRIDE lanes, 2 per row), leaves are identical.
+    """
+    host = getattr(bvh, "host", None)
+    if host is not None:
+        amin, amax = host["aabb_min"], host["aabb_max"]
+        lf, cnt = host["left_first"], host["count"]
+    else:
+        amin = np.asarray(bvh.aabb_min)
+        amax = np.asarray(bvh.aabb_max)
+        lf = np.asarray(bvh.left_first)
+        cnt = np.asarray(bvh.count)
+    m = amin.shape[0]
+
+    if _np is not None:
+        v0, e1, e2, nrm, pid, lay = (np.asarray(a) for a in _np)
+    else:
+        v0 = np.asarray(tris.v0)
+        e1 = np.asarray(tris.edge1)
+        e2 = np.asarray(tris.edge2)
+        nrm = np.asarray(tris.normal)
+        pid = np.asarray(tris.prim_id)
+        lay = np.asarray(tris.layers)
+    t = v0.shape[0]
+
+    is_leaf = cnt > 0
+    leaves = np.nonzero(is_leaf)[0]
+    leaf_of = np.cumsum(is_leaf) - 1
+    num_leaf = len(leaves)
+
+    children, waxes = _collapse8(amin, amax, lf, cnt)
+    nw = children.shape[0]
+    num_wide = nw + 1  # trailing NaN dummy
+    # wide id per binary node: internal children in BFS order get ids
+    # nw grows exactly with queue order in _collapse8 — recompute here
+    wide_of = np.full(m, -1, np.int64)
+    order = children[children >= 0]
+    internal_kids = order[~is_leaf[order]]
+    wide_of[0] = 0
+    wide_of[internal_kids] = np.arange(len(internal_kids)) + 1
+    assert len(internal_kids) == nw - 1, (len(internal_kids), nw)
+
+    # --- node gather indices -------------------------------------------
+    # node src = [amin.flat (3M), amax.flat (3M), node_const]
+    # node_const = [enc (8W), axis (W), 0.0, NaN]
+    cb = 6 * m
+    zero_pos = cb + 9 * num_wide
+    nan_pos = zero_pos + 1
+    nidx = np.full((num_wide, NODE8_STRIDE), zero_pos, np.int64)
+    nidx[-1, 0:48] = nan_pos  # dummy node: NaN boxes
+
+    axes = np.arange(3)
+    enc = np.full((num_wide, WIDE8_CAP), 2.0 * nw, np.float32)  # dummy enc
+    present = children >= 0
+    ck = np.where(present, children, 0)
+    ptr = np.where(is_leaf[ck], leaf_of[ck], wide_of[ck])
+    enc[:nw] = np.where(present, 2.0 * ptr + is_leaf[ck], 2.0 * nw)
+    for k in range(WIDE8_CAP):
+        col = np.where(present[:, k], ck[:, k], 0)
+        bmin = 3 * col[:, None] + axes[None, :]
+        bmax = 3 * m + 3 * col[:, None] + axes[None, :]
+        pm = present[:, k : k + 1]
+        nidx[:nw, 6 * k : 6 * k + 3] = np.where(pm, bmin, nan_pos)
+        nidx[:nw, 6 * k + 3 : 6 * k + 6] = np.where(pm, bmax, nan_pos)
+        nidx[:nw, 48 + k] = cb + WIDE8_CAP * np.arange(nw) + k
+    nidx[:nw, 56] = cb + 8 * num_wide + np.arange(nw)
+    node_const = np.concatenate(
+        [enc.reshape(-1), np.zeros(num_wide, np.float32), [0.0], [np.nan]]
+    ).astype(np.float32)
+    node_const[8 * num_wide : 8 * num_wide + nw] = waxes.astype(np.float32)
+    node_idx = _pack_idx(nidx, NODES8_PER_ROW, NODE8_STRIDE, zero_pos)
+
+    # --- leaf gather indices (identical to the binary layout) -----------
+    first = lf[leaves][:, None]
+    c = cnt[leaves][:, None]
+    ks = np.arange(LEAF_CAP)[None, :]
+    slots = np.clip(first + ks, 0, max(t - 1, 0))
+    valid = ks < c
+    cb2 = 9 * t
+    zero2 = cb2 + num_leaf
+    lidx = np.full((max(num_leaf, 1), LEAF_STRIDE), zero2, np.int64)
+    for k in range(LEAF_CAP):
+        b = 9 * k
+        s3 = 3 * slots[:, k : k + 1] + axes[None, :]
+        vm = valid[:, k : k + 1]
+        lidx[:num_leaf, b : b + 3] = np.where(vm, s3, zero2)
+        lidx[:num_leaf, b + 3 : b + 6] = np.where(vm, 3 * t + s3, zero2)
+        lidx[:num_leaf, b + 6 : b + 9] = np.where(vm, 6 * t + s3, zero2)
+    lidx[:num_leaf, 36] = cb2 + np.arange(num_leaf)
+    leaf_const = np.concatenate(
+        [cnt[leaves].astype(np.float32), [0.0]]
+    ).astype(np.float32)
+    lidx = np.concatenate([lidx[:num_leaf],
+                           np.full((1, LEAF_STRIDE), zero2, np.int64)])
+    leaf_idx = _pack_idx(lidx, LEAVES_PER_ROW, LEAF_STRIDE, zero2)
+
+    node_src = np.concatenate([amin.reshape(-1), amax.reshape(-1), node_const])
+    leaf_src = np.concatenate(
+        [v0.reshape(-1), e1.reshape(-1), e2.reshape(-1), leaf_const]
+    )
+    nodes = node_src[node_idx].astype(np.float32)
+    leaf_rows = leaf_src[leaf_idx].astype(np.float32)
+
+    slot_tri = np.where(valid, slots, 0).astype(np.int32).reshape(-1)
+    slot_pid = np.where(valid, pid[slots], -1).astype(np.int32).reshape(-1)
+    slot_lay = np.where(valid, lay[slots], 0).astype(np.int32).reshape(-1)
+    slot_nrm = (
+        np.where(valid[..., None], nrm[slots], 0.0)
+        .astype(np.float32)
+        .reshape(-1, 3)
+    )
+
+    return WideScene(
+        nodes=jnp.asarray(nodes),
+        leaf_tris=jnp.asarray(leaf_rows),
+        slot_prim_id=jnp.asarray(slot_pid),
+        slot_layers=jnp.asarray(slot_lay),
+        slot_normal=jnp.asarray(slot_nrm),
+        slot_tri=jnp.asarray(slot_tri),
+        node_idx=jnp.asarray(node_idx.astype(np.int32)),
+        leaf_idx=jnp.asarray(leaf_idx.astype(np.int32)),
+        node_const=jnp.asarray(node_const),
+        leaf_const=jnp.asarray(leaf_const),
+        dummy_enc=2 * nw,
+        dummy_leaf=num_leaf,
+        stream_leaves=stream_leaves,
+        stream_nodes=stream_nodes,
+        branching=8,
     )
 
 

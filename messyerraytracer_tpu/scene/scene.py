@@ -17,7 +17,7 @@ import numpy as np
 from ..accel.bvh import BVH, build_bvh, refit_bvh
 from ..accel.traverse import cast_rays_bvh
 from ..kernels.traverse_pallas import cast_rays_wide
-from ..kernels.wide import WideScene, build_wide_scene, refresh_wide_scene
+from ..kernels.wide import (WideScene, build_wide8_scene, build_wide_scene, refresh_wide_scene)
 from ..core.brute import any_hit_brute, cast_rays_brute
 from ..core.types import (
     ALL_LAYERS,
@@ -108,7 +108,7 @@ def _refit_jit(bvh, wide, old_tris, v0, v1, v2):
 
 
 def build_scene(v0, v1, v2, layers=None, prim_id=None, use_bvh=True,
-                backend="pallas") -> RayScene:
+                backend="pallas", branching=8) -> RayScene:
     """Build a flat scene from (T,3) vertex arrays.
 
     The BVH build runs on host; the returned SoA arrays are device-resident.
@@ -119,7 +119,8 @@ def build_scene(v0, v1, v2, layers=None, prim_id=None, use_bvh=True,
     v2 = np.asarray(v2, np.float32)
     t = v0.shape[0]
     bvh = build_bvh(v0, v1, v2)
-    perm = np.asarray(bvh.tri_order)
+    host = getattr(bvh, "host", None)
+    perm = host["tri_order"] if host else np.asarray(bvh.tri_order)
     if prim_id is None:
         prim_id = np.arange(t, dtype=np.int32)
     else:
@@ -144,45 +145,47 @@ def build_scene(v0, v1, v2, layers=None, prim_id=None, use_bvh=True,
     )
     wide = None
     if backend == "pallas":
-        fit = _wide_vmem_fit(bvh)
+        builder = build_wide8_scene if branching == 8 else build_wide_scene
+        fit = _wide_vmem_fit(bvh, branching)
+        host = (pv0, e1, e2, nrm, prim_id[perm], layers[perm])
         if fit == "resident":
-            wide = build_wide_scene(
-                bvh, tris, _np=(pv0, e1, e2, nrm, prim_id[perm], layers[perm])
-            )
+            wide = builder(bvh, tris, _np=host)
         elif fit == "stream":
             # Big-scene mode: nodes stay VMEM-resident, leaf rows stream
             # from HBM with one DMA per leaf pop (slower per pop, unbounded
             # capacity -- the trade the reference makes with 512K-ray TDR
             # chunking, gpu_ray_caster.cpp:427-430).
-            wide = build_wide_scene(
-                bvh, tris,
-                _np=(pv0, e1, e2, nrm, prim_id[perm], layers[perm]),
-                stream_leaves=True,
-            )
+            wide = builder(bvh, tris, _np=host, stream_leaves=True)
         else:
             # Very large scenes: both arrays stream from HBM per pop.
-            wide = build_wide_scene(
-                bvh, tris,
-                _np=(pv0, e1, e2, nrm, prim_id[perm], layers[perm]),
-                stream_leaves=True, stream_nodes=True,
-            )
+            wide = builder(bvh, tris, _np=host, stream_leaves=True,
+                           stream_nodes=True)
     return RayScene(tris=tris, bvh=bvh, wide=wide, use_bvh=use_bvh,
                     backend=backend)
 
 
 # The kernel needs scene arrays VMEM-resident plus ray tiles and headroom.
-# Empirically on v5e: 14.3 MB of scene arrays compiles, 19.4 MB fails
-# (VMEM ~16 MB).  Beyond that, leaf rows stream from HBM ("stream" mode);
-# when even the nodes alone exceed the budget, the jnp backend takes over.
-_WIDE_VMEM_BUDGET = 15 * 1024 * 1024
+# v5e VMEM is 128 MB; with vmem_limit_bytes raised to 100 MB (the kernel
+# CompilerParams) a 97.5 MB scene compiles and runs resident (measured).
+# Round 1's 15 MB ceiling was only Mosaic's *default* budget.  Beyond the
+# budget, leaf rows stream from HBM ("stream" mode); when even the nodes
+# alone exceed it, everything streams.
+_WIDE_VMEM_BUDGET = 96 * 1024 * 1024
 
 
-def _wide_vmem_fit(bvh: BVH) -> str:
-    # 'resident' | 'stream' | 'none' -- how much of the wide layout fits
-    count = np.asarray(bvh.count)
+def _wide_vmem_fit(bvh: BVH, branching: int = 8) -> str:
+    # 'resident' | 'stream' | 'stream_all' -- how much of the layout fits
+    host = getattr(bvh, "host", None)
+    count = host["count"] if host else np.asarray(bvh.count)
     num_internal = int((count == 0).sum()) + 1
     num_leaf = int((count > 0).sum()) + 1
-    node_bytes = -(-num_internal // 8) * 512   # 8 nodes per 512B row
+    if branching == 8:
+        # each 8-wide node absorbs up to 7 binary internals; estimate
+        # conservatively (collapse yields ~num_internal/6 in practice)
+        nw = num_internal // 5 + 2
+        node_bytes = -(-nw // 2) * 512         # 2 nodes per 512B row
+    else:
+        node_bytes = -(-num_internal // 8) * 512  # 8 nodes per 512B row
     leaf_bytes = -(-num_leaf // 2) * 512       # 2 leaves per 512B row
     if node_bytes + leaf_bytes <= _WIDE_VMEM_BUDGET:
         return "resident"

@@ -19,7 +19,7 @@ from .scene import RayScene
 
 import jax.numpy as jnp
 
-_FORMAT_VERSION = 1
+_FORMAT_VERSION = 2
 
 
 def save_scene(path: str, scene: RayScene) -> None:
@@ -62,6 +62,7 @@ def save_scene(path: str, scene: RayScene) -> None:
             wide_dummy_leaf=np.int32(scene.wide.dummy_leaf),
             wide_stream=np.bool_(scene.wide.stream_leaves),
             wide_stream_nodes=np.bool_(scene.wide.stream_nodes),
+            wide_branching=np.int32(scene.wide.branching),
         )
     np.savez_compressed(path, **arrs)
 
@@ -69,7 +70,7 @@ def save_scene(path: str, scene: RayScene) -> None:
 def load_scene(path: str) -> RayScene:
     """Load a scene saved by ``save_scene``; arrays go straight to device."""
     z = np.load(path)
-    assert int(z["format_version"]) == _FORMAT_VERSION, "scene format mismatch"
+    assert int(z["format_version"]) in (1, 2), "scene format mismatch"
     tris = Triangles(
         v0=jnp.asarray(z["tri_v0"]), edge1=jnp.asarray(z["tri_e1"]),
         edge2=jnp.asarray(z["tri_e2"]), normal=jnp.asarray(z["tri_n"]),
@@ -102,6 +103,8 @@ def load_scene(path: str) -> RayScene:
             stream_leaves=bool(z["wide_stream"]) if "wide_stream" in z else False,
             stream_nodes=bool(z["wide_stream_nodes"])
             if "wide_stream_nodes" in z else False,
+            branching=int(z["wide_branching"])
+            if "wide_branching" in z else 2,
         )
     return RayScene(
         tris=tris, bvh=bvh, wide=wide,

@@ -117,7 +117,13 @@ def demo_lighting():
 
 
 def demo_pbr():
-    """Material sweep: metallic x roughness spheres (pbr_demo.gd)."""
+    """Material sweep: metallic x roughness spheres over a checkerboard-
+    textured floor sampled through the atlas (pbr_demo.gd)."""
+    import jax.numpy as jnp
+
+    from messyerraytracer_tpu.core.attributes import make_attributes
+    from messyerraytracer_tpu.render.textures import TextureRegistry
+
     spheres, mat_ids, mats_albedo, mats_metal, mats_rough = [], [], [], [], []
     k = 0
     for i, metal in enumerate(np.linspace(0, 1, 4)):
@@ -130,44 +136,89 @@ def demo_pbr():
             mats_metal.append(metal)
             mats_rough.append(rough)
             k += 1
+    floor = meshes.plane(10.0, y=-1.8, subdiv=2)
+    spheres.append(floor)
+    mat_ids.append(np.full(floor.shape[0], k, np.int32))
+    mats_albedo.append([1.0, 1.0, 1.0])
+    mats_metal.append(0.0)
+    mats_rough.append(0.8)
     tris = np.concatenate(spheres)
     scene = build_scene_from_tri_array(tris)
-    import jax.numpy as jnp
+
+    # checkerboard albedo for the floor, sampled via per-vertex UVs
+    s = 64
+    yy, xx = np.mgrid[0:s, 0:s]
+    checker = np.where(((xx // 8 + yy // 8) % 2)[..., None],
+                       np.float32([0.85, 0.85, 0.9]),
+                       np.float32([0.25, 0.3, 0.35]))
+    reg = TextureRegistry(size=s)
+    cid = reg.add(checker)
+    t_all = tris.shape[0]
+    uv = np.zeros((t_all, 3, 2), np.float32)
+    uv[-floor.shape[0]:] = floor[:, :, [0, 2]] / 10.0 + 0.5
+    # vertex normals default to face normals (flat-shading degradation,
+    # triangle_normals.h:8-11) so sphere shading matches the geometric path
+    fn = np.cross(tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 0])
+    fn /= np.maximum(np.linalg.norm(fn, axis=-1, keepdims=True), 1e-12)
+    attrs = make_attributes(t_all, uv=uv, face_normals=fn)
+    tex_ids = [0] * k + [cid]
 
     mats = make_materials(mats_albedo, metallic=np.float32(mats_metal),
-                          roughness=np.float32(mats_rough))
+                          roughness=np.float32(mats_rough),
+                          albedo_tex=np.int32(tex_ids))
     cam = CameraParams.look_at((0, 0.1, 6.0), (0, 0.1, 0), fov_degrees=45)
     r = RayRenderer(scene, cam, lights=sun(2.0),
                     env=make_environment(tonemap_mode=3),
                     materials=mats,
                     mat_id_of_prim=jnp.asarray(np.concatenate(mat_ids)),
+                    attributes=attrs, atlas=reg.build(),
                     settings=RenderSettings(width=W, height=H))
     return save_ppm("pbr", r.render_frame().to_u8(fbch.COLOR))
 
 
 def demo_normal_map():
-    """Normal-mapped shading via TBN perturbation (normal_map_demo.gd)."""
+    """Normal-mapped shading via the FULL pipeline — per-vertex UVs +
+    tangents, a normal-map texture in the atlas, TBN perturbation inside
+    extract_surface (normal_map_demo.gd; shade_pass.h:527-553)."""
     import jax.numpy as jnp
 
-    from messyerraytracer_tpu.core.attributes import perturb_normal
+    from messyerraytracer_tpu.core.attributes import make_attributes
+    from messyerraytracer_tpu.render.textures import TextureRegistry
 
-    scene = build_scene_from_tri_array(meshes.plane(6.0, y=0.0, subdiv=4))
+    tri = meshes.plane(6.0, y=0.0, subdiv=8)
+    t = tri.shape[0]
+    scene = build_scene_from_tri_array(tri)
+    # planar UVs, +Y vertex normals, +X tangents (bitangent sign +1)
+    uv = (tri[:, :, [0, 2]] / 6.0 + 0.5).astype(np.float32)
+    normals = np.broadcast_to(
+        np.float32([0, 1, 0]), (t, 3, 3)).copy()
+    tangents = np.broadcast_to(
+        np.float32([1, 0, 0, 1]), (t, 3, 4)).copy()
+    attrs = make_attributes(t, uv=uv, normals=normals, tangents=tangents)
+    # procedural ridged normal map, encoded [0,1] like an image asset
+    s = 128
+    yy, xx = np.mgrid[0:s, 0:s] / s
+    nm = np.stack(
+        [0.35 * np.sin(xx * 40.0), 0.35 * np.sin(yy * 40.0),
+         np.ones((s, s))], axis=-1
+    )
+    nm = nm / np.linalg.norm(nm, axis=-1, keepdims=True)
+    reg = TextureRegistry(size=s)
+    nid = reg.add((nm * 0.5 + 0.5).astype(np.float32))
+    mats = make_materials([[0.72, 0.72, 0.78]], roughness=0.35,
+                          normal_tex=[nid])
     cam = CameraParams.look_at((0, 3.5, 4.5), (0, 0, 0), fov_degrees=50)
-    rays = generate_rays(cam, W, H)
-    hits, _ = scene.cast_rays(rays)
-    # procedural bump normal map (sinusoidal ridges)
-    p = np.asarray(hits.position)
-    ns = np.stack(
-        [0.35 * np.sin(p[:, 0] * 6.0), 0.35 * np.sin(p[:, 2] * 6.0),
-         np.ones(p.shape[0])], axis=1
-    ).astype(np.float32)
-    tang = jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0]), hits.normal.shape)
-    pert = perturb_normal(hits.normal, tang,
-                          jnp.ones(hits.t.shape[0]), jnp.asarray(ns))
-    lit = np.clip(np.asarray(pert) @ np.float32([0.3, 0.9, 0.3]), 0, 1)
-    img = (np.repeat(lit[:, None], 3, axis=1).reshape(H, W, 3) * 255
-           ).astype(np.uint8)
-    return save_ppm("normal_map", img)
+    r = RayRenderer(
+        scene, cam, lights=sun(1.8),
+        env=make_environment(tonemap_mode=3),
+        materials=mats, mat_id_of_prim=jnp.zeros((t,), jnp.int32),
+        attributes=attrs, atlas=reg.build(),
+        settings=RenderSettings(width=W, height=H,
+                                channels=(fbch.COLOR, fbch.NORMAL)),
+    )
+    fb = r.render_frame()
+    save_ppm("normal_map_normals", fb.to_u8(fbch.NORMAL))
+    return save_ppm("normal_map", fb.to_u8(fbch.COLOR))
 
 
 def demo_panorama():

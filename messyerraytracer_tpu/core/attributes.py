@@ -110,7 +110,10 @@ def perturb_normal(normal, tangent, sign, normal_sample, normal_scale=1.0):
     bitangent = cross(n, t) * sign (Godot convention).
     """
     bitangent = jnp.cross(normal, tangent) * sign[:, None]
-    ns = normal_sample * jnp.asarray([normal_scale, normal_scale, 1.0])
+    # normal_scale: python scalar or (N,1) per-pixel strength
+    ns = jnp.concatenate(
+        [normal_sample[:, :2] * normal_scale, normal_sample[:, 2:3]], axis=1
+    )
     out = (
         tangent * ns[:, 0:1]
         + bitangent * ns[:, 1:2]

@@ -186,12 +186,15 @@ class PathTracer:
 
     def __init__(self, scene, lights: Lights | None, env: EnvironmentData,
                  materials: Materials, mat_id_of_prim=None,
+                 attributes=None, atlas=None,
                  sort_secondary: bool = False):
         self.scene = scene
         self.lights = lights
         self.env = env
         self.materials = materials
         self.mat_id_of_prim = mat_id_of_prim
+        self.attributes = attributes
+        self.atlas = atlas
         # Morton-sort bounce rays for traversal coherence (the
         # dispatcher's incoherent-batch treatment, ray_dispatcher.h:130-150).
         # Off by default: measured on v5e the argsort+gather overhead beats
@@ -254,7 +257,8 @@ class PathTracer:
             )
 
             surf = extract_surface(
-                hits, cur.direction, self.materials, self._mat_ids(hits)
+                hits, cur.direction, self.materials, self._mat_ids(hits),
+                attrs=self.attributes, atlas=self.atlas,
             )
 
             # --- emission ----------------------------------------------

@@ -83,6 +83,7 @@ class RayRenderer:
                  env: EnvironmentData | None = None,
                  materials: Materials | None = None,
                  mat_id_of_prim: jnp.ndarray | None = None,
+                 attributes=None, atlas=None,
                  settings: RenderSettings | None = None):
         self.scene = scene
         self.camera = camera
@@ -90,6 +91,10 @@ class RayRenderer:
         self.env = env if env is not None else make_environment()
         self.materials = materials if materials is not None else default_materials()
         self.mat_id_of_prim = mat_id_of_prim
+        # vertex attributes + texture atlas feed extract_surface (the
+        # reference's SceneShadeData plumbing, api/scene_shade_data.h:21-43)
+        self.attributes = attributes
+        self.atlas = atlas
         self.settings = settings if settings is not None else RenderSettings()
         # temporal accumulation state (ray_renderer.cpp:441-466)
         self._accum: jnp.ndarray | None = None
@@ -200,9 +205,13 @@ class RayRenderer:
             return jnp.concatenate([rgb, ones], axis=1)
 
         surf = None
-        if fbch.COLOR in st.channels or fbch.FRESNEL in st.channels:
+        needs_surf = (
+            fbch.COLOR, fbch.FRESNEL, fbch.ALBEDO, fbch.UV, fbch.NORMAL,
+        )
+        if any(ch in st.channels for ch in needs_surf):
             surf = extract_surface(
-                hits, rays.direction, self.materials, self._mat_ids(hits)
+                hits, rays.direction, self.materials, self._mat_ids(hits),
+                attrs=self.attributes, atlas=self.atlas,
             )
 
         for ch in st.channels:
@@ -221,7 +230,10 @@ class RayRenderer:
                 rgb = jnp.where(hit[:, None], out, sky)
                 fb.write(ch, rgba(rgb))
             elif ch == fbch.NORMAL:
-                rgb = jnp.where(hit[:, None], hits.normal * 0.5 + 0.5, 0.0)
+                # shading normal: smooth/normal-mapped when attributes are
+                # wired (shade_pass.h shade_normal), else geometric
+                nrm = surf.normal if self.attributes is not None else hits.normal
+                rgb = jnp.where(hit[:, None], nrm * 0.5 + 0.5, 0.0)
                 fb.write(ch, rgba(rgb))
             elif ch == fbch.DEPTH:
                 d = jnp.clip(1.0 - hits.t / st.depth_range, 0.0, 1.0)
@@ -256,8 +268,8 @@ class RayRenderer:
                 v = hit.astype(jnp.float32)[:, None]
                 fb.write(ch, rgba(jnp.repeat(v, 3, axis=1)))
             elif ch == fbch.ALBEDO:
-                alb = self.materials.albedo[self._mat_ids(hits)]
-                rgb = jnp.where(hit[:, None], alb, 0.0)
+                # textured albedo when an atlas is wired (shade_albedo)
+                rgb = jnp.where(hit[:, None], surf.albedo, 0.0)
                 fb.write(ch, rgba(rgb))
             elif ch == fbch.WIREFRAME:
                 w0 = 1.0 - hits.u - hits.v
@@ -267,12 +279,17 @@ class RayRenderer:
                 v = jnp.where(hit, 0.08 + edge * 0.92, 0.0)[:, None]
                 fb.write(ch, rgba(jnp.repeat(v, 3, axis=1)))
             elif ch == fbch.UV:
-                rgb = jnp.where(
-                    hit[:, None],
-                    jnp.stack([hits.u, hits.v, jnp.zeros_like(hits.u)], axis=1),
-                    0.0,
-                )
-                fb.write(ch, rgba(rgb))
+                # interpolated texture UVs when attributes are wired
+                # (triangle_uv.h:23-27); barycentric u/v otherwise
+                if self.attributes is not None:
+                    uvz = jnp.concatenate(
+                        [surf.uv, jnp.zeros_like(surf.uv[:, :1])], axis=1
+                    )
+                else:
+                    uvz = jnp.stack(
+                        [hits.u, hits.v, jnp.zeros_like(hits.u)], axis=1
+                    )
+                fb.write(ch, rgba(jnp.where(hit[:, None], uvz, 0.0)))
             elif ch == fbch.FRESNEL:
                 # shade_pass.h:868-884: r = g = n_dot_v, b = 0.3+0.7*n_dot_v
                 ndv = jnp.clip(surf.n_dot_v, 0.0, 1.0)

@@ -138,17 +138,28 @@ def ambient_color_at(normals: jnp.ndarray, env: EnvironmentData) -> jnp.ndarray:
 
 @pytree_dataclass
 class Materials:
-    """PBR material table (api/material_data.h:19-67), SoA over mat ids."""
+    """PBR material table (api/material_data.h:19-67), SoA over mat ids.
+
+    ``albedo_tex``/``normal_tex`` index a ``TextureAtlas`` (the reference's
+    decompressed albedo/normal ``Ref<Image>``, material_data.h:32-41):
+    atlas id 0 is reserved white, so an untextured material uses
+    albedo_tex=0 (albedo x white = albedo) and normal_tex=0 means "no
+    normal map" (checked explicitly, like the reference's null Image).
+    """
 
     albedo: jnp.ndarray       # (M, 3)
     metallic: jnp.ndarray     # (M,)
     roughness: jnp.ndarray    # (M,)
     specular: jnp.ndarray     # (M,)
     emission: jnp.ndarray     # (M, 3) premultiplied by emission_energy
+    albedo_tex: jnp.ndarray   # (M,) int32 atlas id (0 = white)
+    normal_tex: jnp.ndarray   # (M,) int32 atlas id (0 = none)
+    normal_scale: jnp.ndarray  # (M,) normal-map strength
 
 
 def make_materials(albedo, metallic=None, roughness=None, specular=None,
-                   emission=None) -> Materials:
+                   emission=None, albedo_tex=None, normal_tex=None,
+                   normal_scale=None) -> Materials:
     albedo = jnp.asarray(albedo, jnp.float32).reshape(-1, 3)
     m = albedo.shape[0]
 
@@ -156,6 +167,11 @@ def make_materials(albedo, metallic=None, roughness=None, specular=None,
         if x is None:
             return jnp.full((m,), default, jnp.float32)
         return jnp.broadcast_to(jnp.asarray(x, jnp.float32), (m,))
+
+    def iarr(x):
+        if x is None:
+            return jnp.zeros((m,), jnp.int32)
+        return jnp.broadcast_to(jnp.asarray(x, jnp.int32), (m,))
 
     if emission is None:
         emission = jnp.zeros((m, 3), jnp.float32)
@@ -167,6 +183,9 @@ def make_materials(albedo, metallic=None, roughness=None, specular=None,
         roughness=arr(roughness, 0.7),
         specular=arr(specular, 0.5),
         emission=emission,
+        albedo_tex=iarr(albedo_tex),
+        normal_tex=iarr(normal_tex),
+        normal_scale=arr(normal_scale, 1.0),
     )
 
 
@@ -300,21 +319,40 @@ class Surface:
     f0: jnp.ndarray         # (N, 3)
     diff: jnp.ndarray       # (N, 3)
     emission: jnp.ndarray   # (N, 3)
+    uv: jnp.ndarray         # (N, 2) texture UVs (0 when no attributes)
 
 
 def extract_surface(hits, ray_dirs, materials: Materials,
-                    mat_ids: jnp.ndarray) -> Surface:
-    """Batched surface prep (shade_pass.h:482-587): faceforward normal,
-    material fetch by prim -> material id, F0/diffuse derivation.
+                    mat_ids: jnp.ndarray, attrs=None, atlas=None) -> Surface:
+    """Batched surface prep (shade_pass.h:482-587): smooth-normal
+    interpolation, faceforward, normal-map perturbation via TBN, albedo
+    texture sample, F0/diffuse derivation.
 
     ``mat_ids``: (N,) material index per pixel (already gathered by prim).
+    ``attrs``: optional ``TriangleAttributes`` (UV/vertex-normal/tangent
+    tables indexed by prim_id — triangle_uv.h / triangle_normals.h /
+    triangle_tangents.h).  ``atlas``: optional ``TextureAtlas`` sampled by
+    the material's ``albedo_tex``/``normal_tex`` ids
+    (texture_sampler.h:45-88 semantics, batched).
     """
-    n = hits.normal
-    # Face-forward: flip the geometric normal toward the viewer.
+    uv = jnp.zeros((hits.t.shape[0], 2), jnp.float32)
+    if attrs is not None:
+        # smooth shading normal from vertex normals (shade_pass.h:496-504)
+        from ..core.attributes import (
+            interpolate_normal,
+            interpolate_tangent,
+            interpolate_uv,
+            perturb_normal,
+        )
+
+        pid = jnp.maximum(hits.prim_id, 0).astype(jnp.int32)
+        n = interpolate_normal(attrs, pid, hits.u, hits.v)
+        uv = interpolate_uv(attrs, pid, hits.u, hits.v)
+    else:
+        n = hits.normal
+    # Face-forward: flip the shading normal toward the viewer.
     flip = jnp.sum(n * ray_dirs, axis=-1) > 0.0
     n = jnp.where(flip[:, None], -n, n)
-    view = -ray_dirs
-    n_dot_v = jnp.maximum(jnp.sum(n * view, axis=-1), 1e-4)
 
     albedo = materials.albedo[mat_ids]
     metallic = materials.metallic[mat_ids]
@@ -322,13 +360,36 @@ def extract_surface(hits, ray_dirs, materials: Materials,
     specular = materials.specular[mat_ids]
     emission = materials.emission[mat_ids]
 
+    if atlas is not None:
+        from .textures import sample_bilinear
+
+        # albedo texture modulates the flat color (shade_pass.h:516-524);
+        # atlas id 0 is white so untextured materials are a no-op sample
+        albedo = albedo * sample_bilinear(
+            atlas, materials.albedo_tex[mat_ids], uv[:, 0], uv[:, 1]
+        )
+        if attrs is not None:
+            # normal-map perturbation via the TBN basis
+            # (shade_pass.h:527-553): sample in [0,1], decode to [-1,1]
+            ntex = materials.normal_tex[mat_ids]
+            nsamp = sample_bilinear(atlas, ntex, uv[:, 0], uv[:, 1])
+            tang, sign, has_t = interpolate_tangent(attrs, pid, hits.u, hits.v)
+            perturbed = perturb_normal(
+                n, tang, sign, nsamp * 2.0 - 1.0,
+                materials.normal_scale[mat_ids][:, None],
+            )
+            n = jnp.where(((ntex > 0) & has_t)[:, None], perturbed, n)
+
+    view = -ray_dirs
+    n_dot_v = jnp.maximum(jnp.sum(n * view, axis=-1), 1e-4)
+
     dielectric_f0 = (0.04 * specular * 2.0)[:, None]
     f0 = dielectric_f0 * (1.0 - metallic[:, None]) + albedo * metallic[:, None]
     diff = albedo * (1.0 - metallic[:, None])
     return Surface(
         position=hits.position, normal=n, view_dir=view, n_dot_v=n_dot_v,
         albedo=albedo, metallic=metallic, roughness=roughness,
-        f0=f0, diff=diff, emission=emission,
+        f0=f0, diff=diff, emission=emission, uv=uv,
     )
 
 
@@ -357,6 +418,56 @@ def light_sample(surf_pos, lights: Lights, li: int):
     return ldir, atten, valid, dist
 
 
+def light_sample_picked(surf_pos, lights: Lights, li: jnp.ndarray):
+    """Per-pixel picked-light sampling: ``li`` is an (N,) int32 index array.
+
+    One gathered evaluation of the stochastic single-light estimator
+    (pt_shade.comp.glsl:697-717) — O(1) per pixel instead of evaluating
+    every light and selecting.  Returns
+    (light_dir (N,3), atten (N,), valid (N,), dist (N,), color (N,3),
+    is_directional (N,)).
+    """
+    typ = lights.type[li]
+    is_dir = typ == LIGHT_DIRECTIONAL
+    to_light = lights.position[li] - surf_pos
+    dist = jnp.linalg.norm(to_light, axis=-1)
+    safe = jnp.maximum(dist, 1e-12)
+    pdir = to_light / safe[:, None]
+    ldirn = lights.direction[li]
+    ldir = jnp.where(is_dir[:, None], ldirn, pdir)
+    atten = distance_attenuation(dist, lights.range[li], lights.attenuation[li])
+    spot = spot_attenuation(-pdir, ldirn, lights.spot_angle[li],
+                            lights.spot_atten[li])
+    atten = jnp.where(typ == LIGHT_SPOT, atten * spot, atten)
+    atten = jnp.where(is_dir, 1.0, atten)
+    valid = is_dir | ((dist > 1e-6) & (dist <= lights.range[li]))
+    valid = valid & (atten >= 1e-6)
+    return ldir, atten, valid, dist, lights.color[li], is_dir
+
+
+def cook_torrance_single(surf: Surface, ldir, radiance):
+    """Cook-Torrance BRDF x radiance x n_dot_l for one light direction per
+    pixel (shade_pass.h:607-658 loop body).  Returns (contrib (N,3),
+    n_dot_l (N,)); the caller applies validity/shadow masks."""
+    n_dot_l = jnp.sum(surf.normal * ldir, axis=-1)
+    h = surf.view_dir + ldir
+    h = h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-12)
+    n_dot_h = jnp.maximum(jnp.sum(surf.normal * h, axis=-1), 0.0)
+    v_dot_h = jnp.maximum(jnp.sum(surf.view_dir * h, axis=-1), 0.0)
+    d_term = distribution_ggx(n_dot_h, surf.roughness)
+    g_term = geometry_smith_ggx(surf.n_dot_v, n_dot_l, surf.roughness)
+    f = fresnel_schlick(v_dot_h[:, None], surf.f0)
+    spec_scale = (
+        d_term * g_term / (4.0 * surf.n_dot_v * n_dot_l + 1e-7)
+    )[:, None]
+    contrib = (
+        (surf.diff * (1.0 - f) / PI + f * spec_scale)
+        * radiance
+        * n_dot_l[:, None]
+    )
+    return contrib, n_dot_l
+
+
 def cook_torrance_multi_light(surf: Surface, lights: Lights,
                               lit_mask: jnp.ndarray | None) -> jnp.ndarray:
     """Direct illumination summed over all lights (shade_pass.h:597-660).
@@ -368,29 +479,12 @@ def cook_torrance_multi_light(surf: Surface, lights: Lights,
     out = jnp.zeros((n, 3), jnp.float32)
     for li in range(lights.count):
         ldir, atten, valid, _ = light_sample(surf.position, lights, li)
-        n_dot_l = jnp.sum(surf.normal * ldir, axis=-1)
+        contrib, n_dot_l = cook_torrance_single(
+            surf, ldir, lights.color[li] * atten[:, None]
+        )
         valid = valid & (n_dot_l > 0.0)
         if lit_mask is not None:
             valid = valid & lit_mask[li]
-
-        h = surf.view_dir + ldir
-        h = h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-12)
-        n_dot_h = jnp.maximum(jnp.sum(surf.normal * h, axis=-1), 0.0)
-        v_dot_h = jnp.maximum(jnp.sum(surf.view_dir * h, axis=-1), 0.0)
-
-        d_term = distribution_ggx(n_dot_h, surf.roughness)
-        g_term = geometry_smith_ggx(surf.n_dot_v, n_dot_l, surf.roughness)
-        f = fresnel_schlick(v_dot_h[:, None], surf.f0)
-
-        spec_scale = (d_term * g_term / (4.0 * surf.n_dot_v * n_dot_l + 1e-7))[
-            :, None
-        ]
-        radiance = lights.color[li] * atten[:, None]
-        contrib = (
-            (surf.diff * (1.0 - f) / PI + f * spec_scale)
-            * radiance
-            * n_dot_l[:, None]
-        )
         out = out + jnp.where(valid[:, None], contrib, 0.0)
     return out
 

@@ -49,12 +49,9 @@ from .shade import (
     EnvironmentData,
     Lights,
     Materials,
-    cook_torrance_multi_light,
-    distribution_ggx,
+    cook_torrance_single,
     extract_surface,
-    fresnel_schlick,
-    geometry_smith_ggx,
-    light_sample,
+    light_sample_picked,
     sky_color,
     to_srgb,
     tonemap,
@@ -84,12 +81,15 @@ class WavefrontPathTracer:
     """4-stage wavefront integrator over a scene with cast/any-hit."""
 
     def __init__(self, scene, lights: Lights | None, env: EnvironmentData,
-                 materials: Materials, mat_id_of_prim=None):
+                 materials: Materials, mat_id_of_prim=None,
+                 attributes=None, atlas=None):
         self.scene = scene
         self.lights = lights
         self.env = env
         self.materials = materials
         self.mat_id_of_prim = mat_id_of_prim
+        self.attributes = attributes
+        self.atlas = atlas
 
     def _mat_ids(self, hits):
         pid = jnp.maximum(hits.prim_id, 0)
@@ -153,7 +153,8 @@ class WavefrontPathTracer:
         )
 
         surf = extract_surface(
-            hits, state.ray.direction, self.materials, self._mat_ids(hits)
+            hits, state.ray.direction, self.materials, self._mat_ids(hits),
+            attrs=self.attributes, atlas=self.atlas,
         )
         accum = accum + jnp.where(
             hit[:, None], state.throughput * surf.emission, 0.0
@@ -171,31 +172,19 @@ class WavefrontPathTracer:
                 (u_pick * self.lights.count).astype(jnp.int32),
                 self.lights.count - 1,
             )
-            # evaluate each light's contribution, select the picked one
-            contribs = []
-            ldirs = []
-            dists = []
-            valids = []
-            for li in range(self.lights.count):
-                one = self._light_contrib(surf, li)
-                contribs.append(one[0])
-                ldirs.append(one[1])
-                dists.append(one[2])
-                valids.append(one[3])
-            picks2 = [(li_pick == li)[:, None]
-                      for li in range(self.lights.count)]
-            contrib = jnp.select(picks2, contribs)
-            ldir = jnp.select(picks2, ldirs)
-            dist = jnp.select(
-                [li_pick == li for li in range(self.lights.count)], dists
+            # ONE gathered evaluation of the picked light per pixel
+            # (pt_shade.comp.glsl:697-717) — O(1), not evaluate-all+select
+            ldir, atten, lvalid, dist, lcolor, is_dir = light_sample_picked(
+                surf.position, self.lights, li_pick
             )
-            lvalid = jnp.select(
-                [li_pick == li for li in range(self.lights.count)], valids
+            contrib, n_dot_l = cook_torrance_single(
+                surf, ldir, lcolor * atten[:, None]
             )
+            lvalid = lvalid & (n_dot_l > 0.0)
+            contrib = jnp.where(lvalid[:, None], contrib, 0.0)
             # x light_count to unbias the uniform pick
             pending = state.throughput * contrib * float(self.lights.count)
             shadow_valid = hit & lvalid
-            is_dir = self.lights.type[li_pick] == 0
             tmax = jnp.where(is_dir, 1e30, dist - 2.0 * SHADOW_EPS)
             shadow_ray = Rays(
                 origin=hits.position + surf.normal * SHADOW_EPS,
@@ -240,29 +229,6 @@ class WavefrontPathTracer:
             shadow_ray=shadow_ray,
             shadow_valid=shadow_valid,
             visibility=jnp.zeros((n,), bool),
-        )
-
-    def _light_contrib(self, surf, li: int):
-        """Unshadowed Cook-Torrance contribution of one light
-        (shade_pass.h:597-660 single-light body)."""
-        ldir, atten, valid, dist = light_sample(surf.position, self.lights, li)
-        n_dot_l = jnp.sum(surf.normal * ldir, axis=-1)
-        valid = valid & (n_dot_l > 0.0)
-        h = surf.view_dir + ldir
-        h = h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-12)
-        n_dot_h = jnp.maximum(jnp.sum(surf.normal * h, axis=-1), 0.0)
-        v_dot_h = jnp.maximum(jnp.sum(surf.view_dir * h, axis=-1), 0.0)
-        d_term = distribution_ggx(n_dot_h, surf.roughness)
-        g_term = geometry_smith_ggx(surf.n_dot_v, n_dot_l, surf.roughness)
-        f = fresnel_schlick(v_dot_h[:, None], surf.f0)
-        spec = (d_term * g_term / (4.0 * surf.n_dot_v * n_dot_l + 1e-7))[:, None]
-        radiance = self.lights.color[li] * atten[:, None]
-        contrib = (
-            (surf.diff * (1.0 - f) / PI + f * spec) * radiance
-            * n_dot_l[:, None]
-        )
-        return (
-            jnp.where(valid[:, None], contrib, 0.0), ldir, dist, valid,
         )
 
     # ---- frame orchestration (gpu_path_tracer.cpp:241-283) ------------

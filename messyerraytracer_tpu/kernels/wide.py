@@ -256,14 +256,17 @@ def build_wide_scene(bvh: BVH, tris: Triangles, _np=None,
 
 def _collapse8(amin: np.ndarray, amax: np.ndarray, lf: np.ndarray,
                cnt: np.ndarray):
-    """Collapse the binary DFS BVH into an 8-wide tree (host).
+    """Collapse the binary DFS BVH into an 8-wide tree (host, vectorized).
 
     Greedy: starting from a node's two children, repeatedly expand the
     internal child with the largest surface area until 8 children (the
     standard BVH2->BVH8 collapse, tiny_bvh.h BVH8 conversion shape).
-    Returns (children, axis): ``children`` is an (W, 8) int32 array of
+    Returns (children, axis): ``children`` is an (W, 8) int64 array of
     binary node ids (-1 = missing), sorted per node along ``axis`` (W,)
     by box centroid for consensus front-to-back ordering.
+
+    Whole BFS levels expand together as (F, 8) numpy passes — the per-node
+    Python loop version took ~2 s at 1M tris; this is ~50 ms.
     """
     is_leaf = cnt > 0
     ext = np.maximum(amax - amin, 0.0)
@@ -274,40 +277,63 @@ def _collapse8(amin: np.ndarray, amax: np.ndarray, lf: np.ndarray,
         # degenerate: root is a leaf — one wide node holding it
         return (np.array([[0] + [-1] * 7], np.int64), np.zeros(1, np.int64))
 
-    children: list[list[int]] = []
-    axes_out: list[int] = []
-    queue = [0]          # binary ids that become wide nodes (BFS order)
-    while queue:
-        nxt: list[int] = []
-        for b in queue:
-            kids = [b + 1, int(lf[b])]
-            while len(kids) < WIDE8_CAP:
-                best, ba = -1, -1.0
-                for i, kd in enumerate(kids):
-                    if not is_leaf[kd] and area[kd] > ba:
-                        ba, best = float(area[kd]), i
-                if best < 0:
-                    break
-                kd = kids.pop(best)
-                kids.extend([kd + 1, int(lf[kd])])
-            ck = cent[kids]
-            ax = int(np.argmax(ck.max(0) - ck.min(0)))
-            kids = [kids[i] for i in np.argsort(ck[:, ax], kind="stable")]
-            children.append(kids + [-1] * (WIDE8_CAP - len(kids)))
-            axes_out.append(ax)
-            nxt.extend(kd for kd in kids if kd >= 0 and not is_leaf[kd])
-        queue = nxt
-    return np.asarray(children, np.int64), np.asarray(axes_out, np.int64)
+    children_lvls: list[np.ndarray] = []
+    axes_lvls: list[np.ndarray] = []
+    frontier = np.array([0], np.int64)   # binary ids becoming wide nodes
+    while frontier.size:
+        f = frontier.size
+        kids = np.full((f, WIDE8_CAP), -1, np.int64)
+        kids[:, 0] = frontier + 1
+        kids[:, 1] = lf[frontier]
+        ncount = np.full(f, 2, np.int64)
+        # greedy expansion: 6 rounds of replace-max-area-internal-child
+        for _ in range(WIDE8_CAP - 2):
+            present = kids >= 0
+            safe = np.where(present, kids, 0)
+            expandable = present & ~is_leaf[safe]
+            a = np.where(expandable, area[safe], -np.inf)
+            best = np.argmax(a, axis=1)                    # (F,)
+            rows = np.nonzero((a[np.arange(f), best] > -np.inf)
+                              & (ncount < WIDE8_CAP))[0]
+            if rows.size == 0:
+                break
+            kd = kids[rows, best[rows]]
+            kids[rows, best[rows]] = kd + 1                # replace in place
+            kids[rows, ncount[rows]] = lf[kd]              # append sibling
+            ncount[rows] += 1
+        # sort present kids along the max-centroid-spread axis
+        present = kids >= 0
+        safe = np.where(present, kids, 0)
+        ck = np.where(present[..., None], cent[safe], np.nan)
+        spread = np.nanmax(ck, axis=1) - np.nanmin(ck, axis=1)   # (F, 3)
+        ax = np.argmax(spread, axis=1)                           # (F,)
+        key = np.where(present, np.take_along_axis(
+            cent[safe], ax[:, None, None], axis=2)[..., 0], np.inf)
+        ordr = np.argsort(key, axis=1, kind="stable")
+        kids = np.take_along_axis(kids, ordr, axis=1)
+        children_lvls.append(kids)
+        axes_lvls.append(ax)
+        flat = kids.reshape(-1)
+        flat = flat[flat >= 0]
+        frontier = flat[~is_leaf[flat]]                    # row-major BFS
+    return (np.concatenate(children_lvls).astype(np.int64),
+            np.concatenate(axes_lvls).astype(np.int64))
 
 
 def build_wide8_scene(bvh: BVH, tris: Triangles, _np=None,
                       stream_leaves: bool = False,
                       stream_nodes: bool = False) -> WideScene:
-    """Convert a DFS binary BVH to the 8-wide lane-packed layout (host).
+    """Convert a DFS binary BVH to the 8-wide lane-packed layout.
 
     Same gather-based packing contract as ``build_wide_scene`` (so
     ``refresh_wide_scene`` works unchanged for refits); nodes use the
     wide8 layout (NODE8_STRIDE lanes, 2 per row), leaves are identical.
+
+    Host work is *index construction only* (int32 numpy, ~1 s at 1M tris);
+    the lane-packed node/leaf rows are materialized ON DEVICE by the same
+    ``refresh_wide_scene`` gather refits use, fed by the BVH AABBs and
+    triangle SoA already resident in HBM — so a build moves ~half the
+    bytes of a host-side packing and none of its gather time.
     """
     host = getattr(bvh, "host", None)
     if host is not None:
@@ -321,31 +347,29 @@ def build_wide8_scene(bvh: BVH, tris: Triangles, _np=None,
     m = amin.shape[0]
 
     if _np is not None:
-        v0, e1, e2, nrm, pid, lay = (np.asarray(a) for a in _np)
+        _, _, _, _, pid, lay = (np.asarray(a) for a in _np)
     else:
-        v0 = np.asarray(tris.v0)
-        e1 = np.asarray(tris.edge1)
-        e2 = np.asarray(tris.edge2)
-        nrm = np.asarray(tris.normal)
         pid = np.asarray(tris.prim_id)
         lay = np.asarray(tris.layers)
-    t = v0.shape[0]
+    t = int(tris.v0.shape[0])
 
     is_leaf = cnt > 0
     leaves = np.nonzero(is_leaf)[0]
-    leaf_of = np.cumsum(is_leaf) - 1
+    leaf_of = (np.cumsum(is_leaf) - 1).astype(np.int32)
     num_leaf = len(leaves)
 
     children, waxes = _collapse8(amin, amax, lf, cnt)
+    children = children.astype(np.int32)
     nw = children.shape[0]
     num_wide = nw + 1  # trailing NaN dummy
     # wide id per binary node: internal children in BFS order get ids
     # nw grows exactly with queue order in _collapse8 — recompute here
-    wide_of = np.full(m, -1, np.int64)
+    wide_of = np.full(m, -1, np.int32)
     order = children[children >= 0]
     internal_kids = order[~is_leaf[order]]
     wide_of[0] = 0
-    wide_of[internal_kids] = np.arange(len(internal_kids)) + 1
+    wide_of[internal_kids] = np.arange(1, len(internal_kids) + 1,
+                                       dtype=np.int32)
     assert len(internal_kids) == nw - 1, (len(internal_kids), nw)
 
     # --- node gather indices -------------------------------------------
@@ -354,39 +378,39 @@ def build_wide8_scene(bvh: BVH, tris: Triangles, _np=None,
     cb = 6 * m
     zero_pos = cb + 9 * num_wide
     nan_pos = zero_pos + 1
-    nidx = np.full((num_wide, NODE8_STRIDE), zero_pos, np.int64)
+    nidx = np.full((num_wide, NODE8_STRIDE), zero_pos, np.int32)
     nidx[-1, 0:48] = nan_pos  # dummy node: NaN boxes
 
-    axes = np.arange(3)
+    axes = np.arange(3, dtype=np.int32)
     enc = np.full((num_wide, WIDE8_CAP), 2.0 * nw, np.float32)  # dummy enc
     present = children >= 0
     ck = np.where(present, children, 0)
     ptr = np.where(is_leaf[ck], leaf_of[ck], wide_of[ck])
     enc[:nw] = np.where(present, 2.0 * ptr + is_leaf[ck], 2.0 * nw)
     for k in range(WIDE8_CAP):
-        col = np.where(present[:, k], ck[:, k], 0)
+        col = np.where(present[:, k], ck[:, k], 0).astype(np.int32)
         bmin = 3 * col[:, None] + axes[None, :]
         bmax = 3 * m + 3 * col[:, None] + axes[None, :]
         pm = present[:, k : k + 1]
         nidx[:nw, 6 * k : 6 * k + 3] = np.where(pm, bmin, nan_pos)
         nidx[:nw, 6 * k + 3 : 6 * k + 6] = np.where(pm, bmax, nan_pos)
-        nidx[:nw, 48 + k] = cb + WIDE8_CAP * np.arange(nw) + k
-    nidx[:nw, 56] = cb + 8 * num_wide + np.arange(nw)
+        nidx[:nw, 48 + k] = cb + WIDE8_CAP * np.arange(nw, dtype=np.int32) + k
+    nidx[:nw, 56] = cb + 8 * num_wide + np.arange(nw, dtype=np.int32)
     node_const = np.concatenate(
-        [enc.reshape(-1), np.zeros(num_wide, np.float32), [0.0], [np.nan]]
-    ).astype(np.float32)
-    node_const[8 * num_wide : 8 * num_wide + nw] = waxes.astype(np.float32)
+        [enc.reshape(-1), waxes.astype(np.float32),
+         np.float32([0.0]), np.float32([np.nan])]
+    )
     node_idx = _pack_idx(nidx, NODES8_PER_ROW, NODE8_STRIDE, zero_pos)
 
     # --- leaf gather indices (identical to the binary layout) -----------
-    first = lf[leaves][:, None]
+    first = lf[leaves][:, None].astype(np.int32)
     c = cnt[leaves][:, None]
-    ks = np.arange(LEAF_CAP)[None, :]
+    ks = np.arange(LEAF_CAP, dtype=np.int32)[None, :]
     slots = np.clip(first + ks, 0, max(t - 1, 0))
     valid = ks < c
     cb2 = 9 * t
     zero2 = cb2 + num_leaf
-    lidx = np.full((max(num_leaf, 1), LEAF_STRIDE), zero2, np.int64)
+    lidx = np.full((max(num_leaf, 1) + 1, LEAF_STRIDE), zero2, np.int32)
     for k in range(LEAF_CAP):
         b = 9 * k
         s3 = 3 * slots[:, k : k + 1] + axes[None, :]
@@ -394,39 +418,26 @@ def build_wide8_scene(bvh: BVH, tris: Triangles, _np=None,
         lidx[:num_leaf, b : b + 3] = np.where(vm, s3, zero2)
         lidx[:num_leaf, b + 3 : b + 6] = np.where(vm, 3 * t + s3, zero2)
         lidx[:num_leaf, b + 6 : b + 9] = np.where(vm, 6 * t + s3, zero2)
-    lidx[:num_leaf, 36] = cb2 + np.arange(num_leaf)
+    lidx[:num_leaf, 36] = cb2 + np.arange(num_leaf, dtype=np.int32)
+    # trailing all-zero dummy leaf row is already zero2-filled
     leaf_const = np.concatenate(
-        [cnt[leaves].astype(np.float32), [0.0]]
-    ).astype(np.float32)
-    lidx = np.concatenate([lidx[:num_leaf],
-                           np.full((1, LEAF_STRIDE), zero2, np.int64)])
-    leaf_idx = _pack_idx(lidx, LEAVES_PER_ROW, LEAF_STRIDE, zero2)
-
-    node_src = np.concatenate([amin.reshape(-1), amax.reshape(-1), node_const])
-    leaf_src = np.concatenate(
-        [v0.reshape(-1), e1.reshape(-1), e2.reshape(-1), leaf_const]
+        [cnt[leaves].astype(np.float32), np.float32([0.0])]
     )
-    nodes = node_src[node_idx].astype(np.float32)
-    leaf_rows = leaf_src[leaf_idx].astype(np.float32)
+    leaf_idx = _pack_idx(lidx, LEAVES_PER_ROW, LEAF_STRIDE, zero2)
 
     slot_tri = np.where(valid, slots, 0).astype(np.int32).reshape(-1)
     slot_pid = np.where(valid, pid[slots], -1).astype(np.int32).reshape(-1)
     slot_lay = np.where(valid, lay[slots], 0).astype(np.int32).reshape(-1)
-    slot_nrm = (
-        np.where(valid[..., None], nrm[slots], 0.0)
-        .astype(np.float32)
-        .reshape(-1, 3)
-    )
 
-    return WideScene(
-        nodes=jnp.asarray(nodes),
-        leaf_tris=jnp.asarray(leaf_rows),
+    skeleton = WideScene(
+        nodes=jnp.zeros((1, 1), jnp.float32),       # materialized on device
+        leaf_tris=jnp.zeros((1, 1), jnp.float32),   # (below)
         slot_prim_id=jnp.asarray(slot_pid),
         slot_layers=jnp.asarray(slot_lay),
-        slot_normal=jnp.asarray(slot_nrm),
+        slot_normal=jnp.zeros((1, 3), jnp.float32),
         slot_tri=jnp.asarray(slot_tri),
-        node_idx=jnp.asarray(node_idx.astype(np.int32)),
-        leaf_idx=jnp.asarray(leaf_idx.astype(np.int32)),
+        node_idx=jnp.asarray(node_idx),
+        leaf_idx=jnp.asarray(leaf_idx),
         node_const=jnp.asarray(node_const),
         leaf_const=jnp.asarray(leaf_const),
         dummy_enc=2 * nw,
@@ -435,6 +446,8 @@ def build_wide8_scene(bvh: BVH, tris: Triangles, _np=None,
         stream_nodes=stream_nodes,
         branching=8,
     )
+    # one fused device gather builds nodes/leaf_tris/slot_normal in HBM
+    return refresh_wide_scene(skeleton, bvh, tris)
 
 
 @jax.jit

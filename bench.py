@@ -79,14 +79,21 @@ def main():
     )
 
     # ---- timed casts ----------------------------------------------------
-    hits, stats = scene.cast_rays(rays)  # compile + warm
-    jax.block_until_ready(hits.t)
-    iters = 3
-    t0 = time.time()
-    for _ in range(iters):
-        hits, stats = scene.cast_rays(rays)
-    jax.block_until_ready(hits.t)
-    dt = (time.time() - t0) / iters
+    # Timing note: on tunneled devices jax.block_until_ready can return
+    # before the device work completes (observed: 55 ms kernels "finish"
+    # in 0.1 ms).  A scalar jnp.sum readback is the only reliable fence —
+    # device work is FIFO, so forcing iteration K's sum bounds all K
+    # iterations; the sum+RTT overhead is amortized across iters.
+    def timed_cast(sc, rr, iters):
+        hits, stats = sc.cast_rays(rr)  # compile + warm
+        float(jnp.sum(hits.t))
+        t0 = time.time()
+        for _ in range(iters):
+            hits, stats = sc.cast_rays(rr)
+        float(jnp.sum(hits.t))
+        return (time.time() - t0) / iters, hits, stats
+
+    dt, hits, stats = timed_cast(scene, rays, 5)
     mrays = n / dt / 1e6
 
     # ---- secondary: the 1M-tri BASELINE scene (full-streaming kernel) --
@@ -94,14 +101,9 @@ def main():
     g1m[:, :, 1] = (np.sin(g1m[:, :, 0] * 0.7) * np.cos(g1m[:, :, 2] * 0.6)) * 1.5
     t0 = time.time()
     scene1m = build_scene_from_tri_array(g1m)
+    jax.block_until_ready((scene1m.wide.nodes, scene1m.wide.leaf_tris))
     build1m_s = time.time() - t0
-    h1m, _ = scene1m.cast_rays(rays)
-    jax.block_until_ready(h1m.t)
-    t0 = time.time()
-    for _ in range(2):
-        h1m, _ = scene1m.cast_rays(rays)
-    jax.block_until_ready(h1m.t)
-    dt1m = (time.time() - t0) / 2
+    dt1m, h1m, _ = timed_cast(scene1m, rays, 2)
     sub1m = Rays(
         origin=rays.origin[:2048], direction=rays.direction[:2048],
         t_min=rays.t_min[:2048], t_max=rays.t_max[:2048],

@@ -547,17 +547,17 @@ def _mega_kernel(
     pops_out,                   # (1, 1) i32 SMEM
     ray_buf, fbuf, ibuf, stack_ref, queue_ref, nodes_ref, leaf_ref, sems,
     *, any_hit: bool, dummy_enc: int, dummy_leaf: int, srows: int,
-    branching: int, num_tiles: int, qdrain: int,
+    branching: int, num_tiles: int, qdrain: int, interleave: int = 1,
 ):
     """Single-invocation traversal over ALL ray tiles (the "megakernel").
 
-    Two structural moves vs the grid kernel:
+    Structural moves vs the grid kernel:
 
-    1. **Kernel-owned pipeline.**  A fori_loop over tiles with manually
-       double-buffered DMAs (ray tile i+1 prefetched while tile i
-       traverses; results DMA out while tile i+1 traverses) — the TPU
-       version of the reference's persistent GPU dispatch (one
-       compute_list for the whole batch, gpu_ray_caster.cpp:683-693).
+    1. **Kernel-owned pipeline.**  A fori_loop over tile groups with
+       manually double-buffered DMAs (group g+1 prefetched while group g
+       traverses; results DMA out while g+1 traverses) — the TPU version
+       of the reference's persistent GPU dispatch (one compute_list for
+       the whole batch, gpu_ray_caster.cpp:683-693).
 
     2. **Branch-free split traversal (leaf queue).**  The serial cost of a
        pop is its vector->scalar reduction + SMEM round trip; a lax.cond
@@ -570,35 +570,46 @@ def _mega_kernel(
        of serializing after it (the wavefront Extend/Shade split of
        gpu_path_tracer.cpp:251-283, folded into one kernel).
 
+    3. **Tile interleaving** (``interleave`` > 1): each fori step
+       traverses S independent ray tiles in one while loop, their states
+       side by side — S independent reduction/push chains for the
+       scheduler to overlap (the TPU analogue of GPU warp oversubscription
+       hiding pop latency).  A finished tile pops dummies until the whole
+       group finishes; swizzled adjacent tiles have similar depth so the
+       tail waste is small.
+
     Resident scenes only — streaming tiers use the grid kernel.
     """
     shape = (srows, 128)
+    S = interleave
     npr = NODES8_PER_ROW if branching == 8 else NODES_PER_ROW
     nstride = NODE8_STRIDE if branching == 8 else NODE_STRIDE
     rrows = 8 * srows
     frows = 3 * srows
     irows = 2 * srows
     dummy_node = dummy_enc >> 1
+    num_groups = num_tiles // S
+    assert num_groups * S == num_tiles
 
-    def _ray_in(i, pb):
+    def _ray_in(g, pb):
         return pltpu.make_async_copy(
-            rays_hbm.at[pl.ds(i * rrows, rrows), :],
-            ray_buf.at[pl.ds(pb * rrows, rrows), :], sems.at[2 + pb],
+            rays_hbm.at[pl.ds(g * S * rrows, S * rrows), :],
+            ray_buf.at[pl.ds(pb * S * rrows, S * rrows), :], sems.at[2 + pb],
         )
 
-    def _f_out(i, pb):
+    def _f_out(g, pb):
         return pltpu.make_async_copy(
-            fbuf.at[pl.ds(pb * frows, frows), :],
-            fout_hbm.at[pl.ds(i * frows, frows), :], sems.at[4 + pb],
+            fbuf.at[pl.ds(pb * S * frows, S * frows), :],
+            fout_hbm.at[pl.ds(g * S * frows, S * frows), :], sems.at[4 + pb],
         )
 
-    def _i_out(i, pb):
+    def _i_out(g, pb):
         return pltpu.make_async_copy(
-            ibuf.at[pl.ds(pb * irows, irows), :],
-            iout_hbm.at[pl.ds(i * irows, irows), :], sems.at[6 + pb],
+            ibuf.at[pl.ds(pb * S * irows, S * irows), :],
+            iout_hbm.at[pl.ds(g * S * irows, S * irows), :], sems.at[6 + pb],
         )
 
-    # stage the scene; prefetch ray tile 0 behind the same DMA engine
+    # stage the scene; prefetch ray group 0 behind the same DMA engine
     c1 = pltpu.make_async_copy(nodes_hbm, nodes_ref, sems.at[0])
     c1.start()
     c2 = pltpu.make_async_copy(leaf_hbm, leaf_ref, sems.at[1])
@@ -613,33 +624,40 @@ def _mega_kernel(
         return jnp.where(small, sign / INV_DIR_EPS,
                          1.0 / jnp.where(small, 1.0, x))
 
-    def tile_body(i, pops_total):
-        pb = i & 1
-        _ray_in(i, pb).wait()
+    def group_body(g, pops_total):
+        pb = g & 1
+        _ray_in(g, pb).wait()
 
-        @pl.when(i + 1 < num_tiles)
+        @pl.when(g + 1 < num_groups)
         def _():
-            _ray_in(i + 1, 1 - pb).start()
+            _ray_in(g + 1, 1 - pb).start()
 
-        base = pb * rrows
-        o = tuple(ray_buf[pl.ds(base + f * srows, srows), :]
-                  for f in range(3))
-        d = tuple(ray_buf[pl.ds(base + (3 + f) * srows, srows), :]
-                  for f in range(3))
-        t_min = ray_buf[pl.ds(base + 6 * srows, srows), :]
-        t_max = ray_buf[pl.ds(base + 7 * srows, srows), :]
-        inv = tuple(safe_inv(x) for x in d)
-        sgn = tuple(jnp.sum(d[a]) >= 0.0 for a in range(3))
-        stack_ref[0, 0] = jnp.int32(0)   # root node index
+        O, D, INV, TMIN, TMAX, SGN = [], [], [], [], [], []
+        for si in range(S):
+            base = (pb * S + si) * rrows
+            o = tuple(ray_buf[pl.ds(base + f * srows, srows), :]
+                      for f in range(3))
+            d = tuple(ray_buf[pl.ds(base + (3 + f) * srows, srows), :]
+                      for f in range(3))
+            O.append(o)
+            D.append(d)
+            INV.append(tuple(safe_inv(x) for x in d))
+            TMIN.append(ray_buf[pl.ds(base + 6 * srows, srows), :])
+            TMAX.append(ray_buf[pl.ds(base + 7 * srows, srows), :])
+            SGN.append(tuple(jnp.sum(d[a]) >= 0.0 for a in range(3)))
+            stack_ref[si, 0] = jnp.int32(0)   # root node index
 
-        def step(c):
-            (sp, qh, qt, cap, best_t, slot, uu, vv, tt, pops, done) = c
+        def slot_step(si, st):
+            """One drain+pop iteration for interleave slot ``si``."""
+            (sp, qh, qt, cap, best_t, slot, uu, vv, tt, pops) = st
+            o, d, inv, sgn = O[si], D[si], INV[si], SGN[si]
+            t_min, t_max = TMIN[si], TMAX[si]
 
             # ---- drain up to qdrain queued leaves (branch-free dense
             # batch; absent slots fetch the all-zero dummy leaf) --------
             qlen = qt - qh
             for j in range(qdrain):
-                li = jnp.where(j < qlen, queue_ref[0, (qh + j) & 15],
+                li = jnp.where(j < qlen, queue_ref[si, (qh + j) & 15],
                                jnp.int32(dummy_leaf))
                 row = leaf_ref[pl.ds(li // LEAVES_PER_ROW, 1), :]
                 rot = pltpu.roll(row, -(li % LEAVES_PER_ROW) * LEAF_STRIDE,
@@ -685,7 +703,7 @@ def _mega_kernel(
             # hits, no pushes) -------------------------------------------
             room = (qt - qh) <= 16 - branching
             active = (sp > 0) & room
-            nidx = jnp.where(active, stack_ref[0, jnp.maximum(sp - 1, 0)],
+            nidx = jnp.where(active, stack_ref[si, jnp.maximum(sp - 1, 0)],
                              jnp.int32(dummy_node))
             sp = jnp.where(active, sp - 1, sp)
             pops = pops + active.astype(jnp.int32)
@@ -759,61 +777,78 @@ def _mega_kernel(
                 isleaf = (e_j & 1) == 1
                 tgt = jax.lax.shift_right_logical(e_j, 1)
                 wq = h_j & isleaf
-                queue_ref[0, jnp.where(wq, qt & 15, 16)] = tgt
+                queue_ref[si, jnp.where(wq, qt & 15, 16)] = tgt
                 qt = qt + wq.astype(jnp.int32)
                 ws = h_j & jnp.logical_not(isleaf) & (sp < KSTACK)
-                stack_ref[0, jnp.where(ws, sp, KSTACK)] = tgt
+                stack_ref[si, jnp.where(ws, sp, KSTACK)] = tgt
                 sp = sp + ws.astype(jnp.int32)
 
+            return (sp, qh, qt, cap, best_t, slot, uu, vv, tt, pops)
+
+        def step(c):
+            states, done = c
+            states = tuple(slot_step(si, states[si]) for si in range(S))
             if any_hit:
-                done = jnp.min(slot) >= 0
-            return (sp, qh, qt, cap, best_t, slot, uu, vv, tt, pops, done)
+                done = jnp.min(states[0][5]) >= 0
+                for si in range(1, S):
+                    done = done & (jnp.min(states[si][5]) >= 0)
+            return (states, done)
 
         def cond(c):
-            alive = ((c[0] > 0) | (c[2] > c[1])) & (c[9] < MAX_ITERS)
+            states, done = c
+            alive = (states[0][0] > 0) | (states[0][2] > states[0][1])
+            for si in range(1, S):
+                alive = alive | (states[si][0] > 0) | (
+                    states[si][2] > states[si][1])
+            alive = alive & (states[0][9] < MAX_ITERS)
             if any_hit:
-                alive = alive & jnp.logical_not(c[10])
+                alive = alive & jnp.logical_not(done)
             return alive
 
-        init = (
-            jnp.int32(1),                 # sp (root pushed)
-            jnp.int32(0), jnp.int32(0),   # qh, qt
-            jnp.minimum(jnp.full(shape, _BIG, jnp.float32), t_max),
-            jnp.full(shape, _BIG, jnp.float32),
-            jnp.full(shape, -1, jnp.int32),
-            jnp.zeros(shape, jnp.float32),
-            jnp.zeros(shape, jnp.float32),
-            jnp.zeros(shape, jnp.int32),
-            jnp.int32(0),
-            jnp.bool_(False),
+        init_states = tuple(
+            (
+                jnp.int32(1),                 # sp (root pushed)
+                jnp.int32(0), jnp.int32(0),   # qh, qt
+                jnp.minimum(jnp.full(shape, _BIG, jnp.float32), TMAX[si]),
+                jnp.full(shape, _BIG, jnp.float32),
+                jnp.full(shape, -1, jnp.int32),
+                jnp.zeros(shape, jnp.float32),
+                jnp.zeros(shape, jnp.float32),
+                jnp.zeros(shape, jnp.int32),
+                jnp.int32(0),
+            )
+            for si in range(S)
         )
-        (_, _, _, _, best_t, slot, uu, vv, tt, pops, _) = (
-            jax.lax.while_loop(cond, step, init)
-        )
+        states, _ = jax.lax.while_loop(cond, step, (init_states,
+                                                    jnp.bool_(False)))
 
-        # reuse of the parity output buffers: tile i-2's DMAs must be done
-        @pl.when(i >= 2)
+        # reuse of the parity output buffers: group g-2's DMAs must be done
+        @pl.when(g >= 2)
         def _():
-            _f_out(i - 2, pb).wait()
-            _i_out(i - 2, pb).wait()
+            _f_out(g - 2, pb).wait()
+            _i_out(g - 2, pb).wait()
 
-        found = slot >= 0
-        fb = pb * frows
-        ib = pb * irows
-        fbuf[pl.ds(fb, srows), :] = jnp.where(found, best_t, T_MAX_DEFAULT)
-        fbuf[pl.ds(fb + srows, srows), :] = jnp.where(found, uu, 0.0)
-        fbuf[pl.ds(fb + 2 * srows, srows), :] = jnp.where(found, vv, 0.0)
-        ibuf[pl.ds(ib, srows), :] = slot
-        ibuf[pl.ds(ib + srows, srows), :] = tt
-        _f_out(i, pb).start()
-        _i_out(i, pb).start()
-        return pops_total + pops
+        for si in range(S):
+            (_, _, _, _, best_t, slot, uu, vv, tt, pops) = states[si]
+            found = slot >= 0
+            fb = (pb * S + si) * frows
+            ib = (pb * S + si) * irows
+            fbuf[pl.ds(fb, srows), :] = jnp.where(found, best_t,
+                                                  T_MAX_DEFAULT)
+            fbuf[pl.ds(fb + srows, srows), :] = jnp.where(found, uu, 0.0)
+            fbuf[pl.ds(fb + 2 * srows, srows), :] = jnp.where(found, vv, 0.0)
+            ibuf[pl.ds(ib, srows), :] = slot
+            ibuf[pl.ds(ib + srows, srows), :] = tt
+            pops_total = pops_total + pops
+        _f_out(g, pb).start()
+        _i_out(g, pb).start()
+        return pops_total
 
-    pops_total = jax.lax.fori_loop(0, num_tiles, tile_body, jnp.int32(0))
+    pops_total = jax.lax.fori_loop(0, num_groups, group_body, jnp.int32(0))
     # drain the last (up to) two outstanding output DMA pairs
-    for i in range(max(num_tiles - 2, 0), num_tiles):
-        _f_out(i, i & 1).wait()
-        _i_out(i, i & 1).wait()
+    for g in range(max(num_groups - 2, 0), num_groups):
+        _f_out(g, g & 1).wait()
+        _i_out(g, g & 1).wait()
     pops_out[0, 0] = pops_total
 
 
@@ -822,16 +857,17 @@ QDRAIN = 4  # queued leaves intersected per traversal iteration
 
 def _call_mega(rays_packed, nodes, leaf_tris, *, any_hit, interpret,
                num_tiles, dummy_enc, dummy_leaf, srows, branching,
-               qdrain=None):
+               qdrain=None, interleave=1):
     if qdrain is None:
         qdrain = QDRAIN
+    S = interleave
     rrows = 8 * srows
     frows = 3 * srows
     irows = 2 * srows
     kern = functools.partial(
         _mega_kernel, any_hit=any_hit, dummy_enc=dummy_enc,
         dummy_leaf=dummy_leaf, srows=srows, branching=branching,
-        num_tiles=num_tiles, qdrain=qdrain,
+        num_tiles=num_tiles, qdrain=qdrain, interleave=S,
     )
     hbm = pl.BlockSpec(memory_space=pl.ANY)
     cp = pltpu.CompilerParams(
@@ -851,11 +887,11 @@ def _call_mega(rays_packed, nodes, leaf_tris, *, any_hit, interpret,
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2 * rrows, 128), jnp.float32),   # ray tiles (dbuf)
-            pltpu.VMEM((2 * frows, 128), jnp.float32),   # f32 out (dbuf)
-            pltpu.VMEM((2 * irows, 128), jnp.int32),     # i32 out (dbuf)
-            pltpu.SMEM((1, KSTACK + 1), jnp.int32),
-            pltpu.SMEM((1, 17), jnp.int32),   # leaf ring queue + sacrificial
+            pltpu.VMEM((2 * S * rrows, 128), jnp.float32),  # ray grp (dbuf)
+            pltpu.VMEM((2 * S * frows, 128), jnp.float32),  # f32 out (dbuf)
+            pltpu.VMEM((2 * S * irows, 128), jnp.int32),    # i32 out (dbuf)
+            pltpu.SMEM((S, KSTACK + 1), jnp.int32),
+            pltpu.SMEM((S, 17), jnp.int32),   # leaf ring queue + sacrificial
             pltpu.VMEM(nodes.shape, jnp.float32),
             pltpu.VMEM(leaf_tris.shape, jnp.float32),
             # 0-1 scene staging; 2+pb ray-in; 4+pb f-out; 6+pb i-out
@@ -933,6 +969,9 @@ def _cast_rays_wide_jit(
     if num_steps > b // 2 and num_steps <= 3 * b // 4 and b >= 4:
         b = 3 * b // 4
     num_steps = b
+    if mega and n_slots > 1:
+        # interleaved megakernel processes n_slots tiles per group
+        num_steps = -(-num_steps // n_slots) * n_slots
     pad = num_steps * step - n
 
     def fld(x, fillv):
@@ -959,7 +998,7 @@ def _cast_rays_wide_jit(
             packed, scene.nodes, leaf_tris,
             any_hit=any_hit, interpret=interpret, num_tiles=num_steps,
             dummy_enc=scene.dummy_enc, dummy_leaf=scene.dummy_leaf,
-            srows=srows, branching=scene.branching,
+            srows=srows, branching=scene.branching, interleave=n_slots,
         )
         f4 = fout.reshape(num_steps, 3, srows * 128)
         i4 = iout.reshape(num_steps, 2, srows * 128)

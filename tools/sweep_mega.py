@@ -56,14 +56,16 @@ def main():
         tp.QDRAIN = qdrain
         tp._cast_rays_wide_jit.clear_cache()
         try:
+            # force completion with a scalar sum readback:
+            # block_until_ready does not reliably block on tunneled devices
             hits, stats, _ = tp.cast_rays_wide(rays, scene.wide, srows=srows)
-            jax.block_until_ready(hits.t)
+            float(jnp.sum(hits.t))
             t0 = time.time()
             iters = 3
             for _ in range(iters):
                 hits, stats, _ = tp.cast_rays_wide(rays, scene.wide,
                                                    srows=srows)
-            jax.block_until_ready(hits.t)
+            float(jnp.sum(hits.t))
             dt = (time.time() - t0) / iters
             slot_sum = int(jnp.sum(jnp.maximum(hits.prim_id, 0)))
             if ref_slot is None:

@@ -15,6 +15,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..accel.bvh import BVH, build_bvh, refit_bvh
+from ..accel.frontier import (
+    FrontierScene,
+    build_frontier_scene,
+    cast_rays_frontier,
+)
 from ..accel.traverse import cast_rays_bvh
 from ..kernels.traverse_pallas import cast_rays_wide
 from ..kernels.wide import (WideScene, build_wide8_scene, build_wide_scene, refresh_wide_scene)
@@ -42,21 +47,35 @@ class RayScene:
     bvh: BVH
     wide: WideScene | None = None
     use_bvh: bool = True       # validation switch (ray_scene.h:59)
-    backend: str = "pallas"    # "pallas" | "jnp" | "brute"
+    backend: str = "pallas"    # "pallas" | "frontier" | "jnp" | "brute"
+    _frontier: FrontierScene | None = None
 
     @property
     def num_tris(self) -> int:
         return self.tris.count
 
+    @property
+    def frontier(self) -> FrontierScene:
+        """Frontier-backend tables, built lazily on first use."""
+        if self._frontier is None:
+            self._frontier = build_frontier_scene(self.bvh, self.tris)
+        return self._frontier
+
     def cast_rays(self, rays: Rays, query_mask=ALL_LAYERS) -> tuple[Hits, RayStats]:
         """Batched closest-hit cast (ray_scene.h:96-131 semantics).
 
-        Routes to the Pallas packet kernel, the jnp reference traversal, or
-        the brute-force oracle (the TPU analogue of the reference's
-        CPU/GPU/AUTO dispatcher, src/dispatch/ray_dispatcher.h:124-181).
+        Routes to the Pallas packet kernel, the frontier (dense BFS)
+        backend, the jnp reference traversal, or the brute-force oracle
+        (the TPU analogue of the reference's CPU/GPU/AUTO dispatcher,
+        src/dispatch/ray_dispatcher.h:124-181).
         """
         if not self.use_bvh or self.backend == "brute":
             return cast_rays_brute(rays, self.tris, query_mask)
+        if self.backend == "frontier":
+            hits, stats, _ = cast_rays_frontier(
+                rays, self.frontier, self.tris, int(query_mask)
+            )
+            return hits, stats
         if self.backend == "pallas" and self.wide is not None:
             hits, stats, _ = cast_rays_wide(rays, self.wide, int(query_mask))
             return hits, stats
@@ -67,6 +86,11 @@ class RayScene:
         """Batched occlusion query (ray_scene.h:135-160 semantics)."""
         if not self.use_bvh or self.backend == "brute":
             return any_hit_brute(rays, self.tris, query_mask)
+        if self.backend == "frontier":
+            _, _, occluded = cast_rays_frontier(
+                rays, self.frontier, self.tris, int(query_mask), any_hit=True
+            )
+            return occluded
         if self.backend == "pallas" and self.wide is not None:
             _, _, occluded = cast_rays_wide(
                 rays, self.wide, int(query_mask), any_hit=True

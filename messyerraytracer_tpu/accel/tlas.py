@@ -54,6 +54,24 @@ def _bvh_host(bvh, name):
     return np.asarray(getattr(bvh, name))
 
 
+def _apply_rt(m, p, translate=True):
+    """Apply a (3,4) [R|t] to points/vectors (N,3) with explicit f32
+    multiply-adds.  ``p @ m.T`` would hit the MXU, which on TPU defaults
+    to bf16 inputs — a ~1e-3 relative error on every coordinate (observed:
+    the two-level loop path's t drifted 3e-3 off the f64 oracle on axon).
+    VPU component arithmetic is exact f32 and faster at 3x4 anyway."""
+    x, y, z = p[..., 0], p[..., 1], p[..., 2]
+    out = jnp.stack(
+        [
+            m[0, 0] * x + m[0, 1] * y + m[0, 2] * z,
+            m[1, 0] * x + m[1, 1] * y + m[1, 2] * z,
+            m[2, 0] * x + m[2, 1] * y + m[2, 2] * z,
+        ],
+        axis=-1,
+    )
+    return out + m[:, 3] if translate else out
+
+
 def _to_mat4(transform) -> np.ndarray:
     """Accept (4,4), (3,4), or (3,3) and return a (3,4) [R|t] float32."""
     m = np.asarray(transform, np.float32)
@@ -138,6 +156,7 @@ class SceneTLAS:
         self._obj_tris: np.ndarray | None = None   # (F, 3, 3) object-space
         self._slot_inst = None                     # (F,) device, slot order
         self._transforms_dev = None                # (I, 3, 4) device
+        self._two_level = None                     # FrontierTLAS cache
 
     # ---- build -------------------------------------------------------
     def add_mesh(self, tri_array, layers=None) -> int:
@@ -208,6 +227,8 @@ class SceneTLAS:
             self.instances[instance_id].blas_id, _to_mat4(transform),
             self.instances[instance_id].layers,
         )
+        # frontier two-level tables embed instance transforms/AABBs
+        self._two_level = None
 
     def refit_tlas(self) -> None:
         """Re-transform flattened triangles + refit — all on device
@@ -247,21 +268,55 @@ class SceneTLAS:
         pid = jnp.maximum(hits.prim_id, 0)
         return jnp.where(hits.hit, inst_orig[pid], -1)
 
+    # ---- scalable two-level cast (frontier TLAS/BLAS forest) ---------
+    def build_two_level(self):
+        """Build the frontier two-level tables (accel/tlas_frontier.py).
+
+        Memory scales with registered meshes, not instances — the
+        sub-linear contract of the reference's native TLAS
+        (scene_tlas.h:140-176)."""
+        from .tlas_frontier import build_frontier_tlas
+
+        self._two_level = build_frontier_tlas(self)
+        return self._two_level
+
+    def cast_rays_two_level_fast(self, rays: Rays, query_mask=ALL_LAYERS,
+                                 any_hit: bool = False):
+        """Log-time two-level cast: TLAS frontier descent -> per-instance
+        object-space rays -> BLAS-forest frontier descent
+        (scene_tlas.h:203-251 semantics).  Returns
+        (hits, stats, occluded, instance_id)."""
+        from .tlas_frontier import cast_rays_tlas
+
+        ft = getattr(self, "_two_level", None)
+        if ft is None:
+            ft = self.build_two_level()
+        return cast_rays_tlas(rays, ft, query_mask, any_hit)
+
     # ---- instance-accurate two-level cast (jnp reference path) -------
     def cast_rays_two_level(self, rays: Rays, query_mask=ALL_LAYERS):
         """Loop over instances: world-AABB cull, transform ray to object
         space (no direction renormalize, blas_instance.h:48-59), traverse
         the BLAS, keep the closest world-t hit.  O(instances) like the
         reference's brute fallback (scene_tlas.h:345-379); exact two-level
-        semantics for validation and for memory-constrained scenes."""
+        semantics for validation and for memory-constrained scenes.
+
+        prim_id uses the flattened scene's global numbering (instance
+        base + mesh-local id) like every other cast path; the mesh-local
+        id is ``prim_id - prim_base[instance_id]``."""
         n = rays.count
+        prim_base = np.zeros(len(self.instances), np.int64)
+        acc = 0
+        for i, inst in enumerate(self.instances):
+            prim_base[i] = acc
+            acc += self.meshes[inst.blas_id].num_tris
         best = None
         best_inst = jnp.full((n,), -1, jnp.int32)
         for i, inst in enumerate(self.instances):
             blas = self.meshes[inst.blas_id].scene
             inv = jnp.asarray(inst.inv_transform)
-            o = rays.origin @ inv[:, :3].T + inv[:, 3]
-            d = rays.direction @ inv[:, :3].T  # NOT renormalized
+            o = _apply_rt(inv, rays.origin)
+            d = _apply_rt(inv, rays.direction, translate=False)  # NOT renormalized
             obj_rays = Rays(
                 origin=o, direction=d, t_min=rays.t_min, t_max=rays.t_max
             )
@@ -272,15 +327,28 @@ class SceneTLAS:
             # transform hit back to world: position via forward transform,
             # normal via inverse-transpose basis (blas_instance.h:62-70)
             m = jnp.asarray(inst.transform)
-            wpos = h.position @ m[:, :3].T + m[:, 3]
-            wnrm = h.normal @ inv[:, :3]  # (R^-1)^T applied -> n @ R^-1
+            wpos = _apply_rt(m, h.position)
+            # (R^-1)^T basis: n @ R^-1, as explicit f32 mul-adds
+            nx, ny, nz = h.normal[:, 0], h.normal[:, 1], h.normal[:, 2]
+            wnrm = jnp.stack(
+                [
+                    nx * inv[0, 0] + ny * inv[1, 0] + nz * inv[2, 0],
+                    nx * inv[0, 1] + ny * inv[1, 1] + nz * inv[2, 1],
+                    nx * inv[0, 2] + ny * inv[1, 2] + nz * inv[2, 2],
+                ],
+                axis=-1,
+            )
             nlen = jnp.linalg.norm(wnrm, axis=-1, keepdims=True)
             wnrm = wnrm / jnp.where(nlen > 0, nlen, 1.0)
             h = Hits(
                 t=h.t,
                 position=jnp.where(h.hit[:, None], wpos, 0.0),
                 normal=jnp.where(h.hit[:, None], wnrm, 0.0),
-                u=h.u, v=h.v, prim_id=h.prim_id, hit_layers=h.hit_layers,
+                u=h.u, v=h.v,
+                prim_id=jnp.where(
+                    h.hit, h.prim_id + jnp.int32(prim_base[i]), NO_HIT
+                ),
+                hit_layers=h.hit_layers,
             )
             if best is None:
                 best = h
@@ -306,7 +374,14 @@ def _tlas_refit_jit(bvh, wide, old_tris, obj_slots, slot_inst, transforms):
     then triangle rederivation + BVH refit + wide refresh."""
     r = transforms[slot_inst, :, :3]       # (F,3,3)
     t = transforms[slot_inst, :, 3]        # (F,3)
-    world = jnp.einsum("fij,fvj->fvi", r, obj_slots) + t[:, None, :]
+    # einsum would route through the MXU at bf16 default precision on TPU
+    # (~1e-3 coordinate error); explicit f32 mul-adds keep refit exact.
+    world = (
+        r[:, None, :, 0] * obj_slots[:, :, None, 0]
+        + r[:, None, :, 1] * obj_slots[:, :, None, 1]
+        + r[:, None, :, 2] * obj_slots[:, :, None, 2]
+        + t[:, None, :]
+    )
     v0, v1, v2 = world[:, 0], world[:, 1], world[:, 2]
     e1 = v1 - v0
     e2 = v2 - v0

@@ -95,7 +95,13 @@ def generate_rays(cam: CameraParams, width: int, height: int,
         view_dir = jnp.stack(
             [u * half_w, v * half_h, -jnp.ones_like(u)], axis=-1
         )  # (H, W, 3)
-        world_dir = _normalize(view_dir @ basis.T)
+        # explicit f32 mul-adds: `view_dir @ basis.T` would use the MXU at
+        # bf16 default precision on TPU (~1e-3 error in every direction)
+        world_dir = _normalize(
+            view_dir[..., 0:1] * basis[:, 0]
+            + view_dir[..., 1:2] * basis[:, 1]
+            + view_dir[..., 2:3] * basis[:, 2]
+        )
         o = jnp.broadcast_to(origin, world_dir.shape)
         return make_rays(o.reshape(-1, 3), world_dir.reshape(-1, 3))
     else:

@@ -95,6 +95,10 @@ class TestTwoLevelPath:
         np.testing.assert_array_equal(
             np.asarray(inst_flat), np.asarray(inst_two)
         )
+        # both paths report the flattened scene's global prim numbering
+        np.testing.assert_array_equal(
+            np.asarray(h_flat.prim_id), np.asarray(h_two.prim_id)
+        )
 
     def test_scaled_instance_world_t(self):
         # t stays world-parameterized for non-uniform instance scaling
@@ -111,6 +115,111 @@ class TestTwoLevelPath:
         assert abs(float(h.t[0]) - 8.0) < 0.1  # world distance to r=2 front
         h2, _, _ = tlas.cast_rays(rays)
         assert abs(float(h2.t[0]) - 8.0) < 0.1
+
+
+class TestTwoLevelFast:
+    """Scalable frontier TLAS/BLAS path (accel/tlas_frontier.py)."""
+
+    @staticmethod
+    def _rand_rays(n, seed):
+        rng = np.random.default_rng(seed)
+        o = rng.uniform(-5, 5, (n, 3)).astype(np.float32)
+        d = rng.normal(size=(n, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        return make_rays(o, d)
+
+    def test_matches_flatten_exact(self):
+        tlas = build_three_spheres(backend="jnp")
+        rays = self._rand_rays(512, 11)
+        h_flat, _, inst_flat = tlas.cast_rays(rays)
+        h_fast, _, _, inst_fast = tlas.cast_rays_two_level_fast(rays)
+        np.testing.assert_array_equal(
+            np.asarray(h_fast.prim_id), np.asarray(h_flat.prim_id)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(inst_fast), np.asarray(inst_flat)
+        )
+        # object-space vs world-space MT rounding: ~1e-6 relative
+        np.testing.assert_allclose(
+            np.asarray(h_fast.t), np.asarray(h_flat.t), rtol=1e-5
+        )
+
+    def test_rotated_scaled_instances(self):
+        tlas = build_three_spheres(backend="jnp")
+        tlas.set_transform(0, rot_y(1.2, (-2, 1, 0)))
+        tlas.set_transform(2, scale(1.5, (2.5, -0.5, 1)))
+        tlas.refit_tlas()
+        rays = self._rand_rays(256, 12)
+        h_flat, _, inst_flat = tlas.cast_rays(rays)
+        h_fast, _, _, inst_fast = tlas.cast_rays_two_level_fast(rays)
+        np.testing.assert_array_equal(
+            np.asarray(h_fast.prim_id), np.asarray(h_flat.prim_id)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(inst_fast), np.asarray(inst_flat)
+        )
+        # object-space MT vs world-space MT: different rounding, tight tol
+        np.testing.assert_allclose(
+            np.asarray(h_fast.t), np.asarray(h_flat.t), rtol=2e-4
+        )
+
+    def test_any_hit_matches(self):
+        tlas = build_three_spheres(backend="jnp")
+        rays = self._rand_rays(256, 13)
+        _, _, occ_fast, _ = tlas.cast_rays_two_level_fast(rays, any_hit=True)
+        occ_flat = tlas.any_hit_rays(rays)
+        np.testing.assert_array_equal(
+            np.asarray(occ_fast), np.asarray(occ_flat)
+        )
+
+    def test_memory_scales_with_meshes_not_instances(self):
+        # 12 instances of ONE mesh: forest tables must hold the mesh once
+        tlas = SceneTLAS(backend="jnp")
+        sphere = meshes.uv_sphere(radius=0.5, rings=6, segments=12)
+        sid = tlas.add_mesh(sphere)
+        for i in range(12):
+            tlas.add_instance(sid, translate((2.0 * (i % 4), 0, 2.0 * (i // 4))))
+        tlas.build_tlas()
+        ft = tlas.build_two_level()
+        assert int(ft.tri[0].shape[0]) == tlas.meshes[0].num_tris
+        assert int(tlas.flat.tris.v0.shape[0]) == 12 * tlas.meshes[0].num_tris
+        rays = self._rand_rays(256, 14)
+        h_flat, _, inst_flat = tlas.cast_rays(rays)
+        h_fast, _, _, inst_fast = tlas.cast_rays_two_level_fast(rays)
+        np.testing.assert_array_equal(
+            np.asarray(h_fast.prim_id), np.asarray(h_flat.prim_id)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(inst_fast), np.asarray(inst_flat)
+        )
+
+    def test_transform_update_invalidates_cache(self):
+        tlas = build_three_spheres(backend="jnp")
+        rays = make_rays((0.11, 0.07, 5), (0, 0, -1))
+        h0, _, _, inst0 = tlas.cast_rays_two_level_fast(rays)
+        assert int(inst0[0]) == 1
+        tlas.set_transform(1, translate((0, 10, 0)))
+        tlas.refit_tlas()
+        h1, _, _, inst1 = tlas.cast_rays_two_level_fast(rays)
+        assert not bool(h1.hit[0])
+        rays2 = make_rays((0.11, 15, 0.07), (0, -1, 0))
+        h2, _, _, inst2 = tlas.cast_rays_two_level_fast(rays2)
+        assert bool(h2.hit[0]) and int(inst2[0]) == 1
+
+    def test_layer_mask(self):
+        tlas = SceneTLAS(backend="jnp")
+        sphere = meshes.uv_sphere(radius=1.0, rings=8, segments=16)
+        sid = tlas.add_mesh(sphere)
+        tlas.add_instance(sid, translate((-2, 0, 0)), layers=0b01)
+        tlas.add_instance(sid, translate((2, 0, 0)), layers=0b10)
+        tlas.build_tlas()
+        rays = make_rays(
+            np.float32([[-1.9, 0.07, 5], [2.1, 0.07, 5]]),
+            np.float32([[0, 0, -1], [0, 0, -1]]),
+        )
+        h, _, _, inst = tlas.cast_rays_two_level_fast(rays, query_mask=0b01)
+        assert bool(h.hit[0]) and int(inst[0]) == 0
+        assert not bool(h.hit[1])
 
 
 class TestRefit:

@@ -94,17 +94,21 @@ def cast_debug_rays(
         tmax = t[hit].max() if hit.any() else 1.0
         d = np.where(hit, 1.0 - np.clip(t / max(tmax, 1e-6), 0, 1), 0.0)
         colors = np.repeat(d[:, None], 3, axis=1)
-    elif draw_mode == DRAW_HEATMAP:
-        # per-ray cost proxy: packet kernels share tile stats, so use the
-        # batch average as the level (exact per-ray cost via backend="jnp")
-        colors = np.broadcast_to(
-            _heat_color(np.asarray([tri_per_ray / heatmap_max]))[0], (n, 3)
-        ).copy()
-    elif draw_mode == DRAW_OVERHEAT:
-        over = tri_per_ray > overheat_threshold
-        colors = np.broadcast_to(
-            [1.0, 0.1, 0.1] if over else [0.2, 0.8, 0.2], (n, 3)
-        ).copy()
+    elif draw_mode in (DRAW_HEATMAP, DRAW_OVERHEAT):
+        # per-RAY exact cost (what OVERHEAT/HEATMAP mean in the reference,
+        # raytracer_debug.cpp:607-618).  The frontier backend counts node
+        # visits/tri tests per ray on-device; packet-kernel tile-level
+        # approximations are never used here.
+        tt = _per_ray_tri_tests(scene, rays)
+        if tt is None:  # no frontier tables (e.g. brute-only scene)
+            tt = np.full(n, tri_per_ray, np.float32)
+        if draw_mode == DRAW_HEATMAP:
+            colors = _heat_color(tt / heatmap_max)
+        else:
+            over = tt > overheat_threshold
+            colors = np.where(
+                over[:, None], [1.0, 0.1, 0.1], [0.2, 0.8, 0.2]
+            )
     elif draw_mode == DRAW_LAYERS:
         lay = np.asarray(hits.hit_layers).astype(np.uint32)
         h = (lay * np.uint32(2654435761)) & np.uint32(0xFFFFFF)
@@ -131,28 +135,40 @@ def cast_debug_rays(
     )
 
 
-def per_ray_cost_heatmap(scene_jnp, rays: Rays, heatmap_max: float = 64.0):
-    """Exact per-ray cost colors using the jnp traversal (the reference's
-    per-ray stats path, raytracer_debug.cpp:607-618).
+def _per_ray_tri_tests(scene, rays: Rays):
+    """Per-ray exact triangle-test counts via the frontier backend
+    (device-native; per-ray exact by construction).  Counts reflect the
+    wide-tree BFS descent with level-lagged best-t culling — a slight
+    upper bound on a depth-first traversal's counts (the jnp backend),
+    but exact per ray, which is what heatmaps need.  Returns None when
+    the scene has no BVH tables to build frontier state from."""
+    try:
+        fs = scene.frontier
+    except (AttributeError, AssertionError):
+        return None
+    from ..accel.frontier import cast_rays_frontier
 
-    ``scene_jnp`` must be a RayScene with backend="jnp" (per-ray stats).
+    _, _, _, per_ray = cast_rays_frontier(
+        rays, fs, scene.tris, return_per_ray_stats=True
+    )
+    return np.asarray(per_ray["tri_tests"], np.float32)
+
+
+def per_ray_cost_heatmap(scene, rays: Rays, heatmap_max: float = 64.0):
+    """Exact per-ray cost colors (the reference's per-ray stats path,
+    raytracer_debug.cpp:607-618), computed on-device by the frontier
+    backend — per-ray exact regardless of the scene's default backend.
+
     Returns (colors (N,3), tri_tests (N,), nodes (N,)).
     """
-    from ..accel.traverse import _traverse_one
-    import jax
+    from ..accel.frontier import cast_rays_frontier
 
-    f = jax.vmap(
-        lambda o, d, tn, tx: _traverse_one(
-            o, d, tn, tx, scene_jnp.bvh, scene_jnp.tris,
-            jnp.int32(-1), False,
-        )
+    _, _, _, per_ray = cast_rays_frontier(
+        rays, scene.frontier, scene.tris, return_per_ray_stats=True
     )
-    _, _, _, _, nv, tt, _, _ = f(
-        rays.origin, rays.direction, rays.t_min, rays.t_max
-    )
-    tt_np = np.asarray(tt, np.float32)
+    tt_np = np.asarray(per_ray["tri_tests"], np.float32)
     colors = _heat_color(tt_np / heatmap_max)
-    return colors, tt_np, np.asarray(nv, np.float32)
+    return colors, tt_np, np.asarray(per_ray["nodes_visited"], np.float32)
 
 
 def bvh_wireframe(bvh, max_depth: int | None = None, leaves_only=False):

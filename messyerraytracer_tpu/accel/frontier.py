@@ -63,7 +63,7 @@ _BIG = 3.0e38
 _IMAX = np.iinfo(np.int32).max
 
 
-@pytree_dataclass(meta_fields=("depth",))
+@pytree_dataclass(meta_fields=("depth", "quantized"))
 class FrontierScene:
     """Wide-tree tables for the frontier caster (flat device arrays).
 
@@ -85,10 +85,79 @@ class FrontierScene:
     leaf_first: jnp.ndarray   # (L,) int32
     leaf_count: jnp.ndarray   # (L,) int32
     tri: tuple                # 9 x (T,) f32: v0.xyz, e1.xyz, e2.xyz
+    # quantized (CWBVH-equivalent) tables — None unless quantize=True.
+    # Child AABBs as 8-bit offsets from the parent anchor at a per-node
+    # power-of-two scale (Ylitie 2017 / cwbvh_traverse.comp.glsl:237-253:
+    # exponent-byte decode; conservative rounding -> traversal superset,
+    # leaf MT results identical).  xyz bytes packed into one int32 each
+    # for min and max: 3 gathered words per child slot instead of 7.
+    node_pmin: tuple | None = None   # 3 x (W,) f32 anchor
+    node_psc: tuple | None = None    # 3 x (W,) f32 power-of-two scale
+    child_qlo: jnp.ndarray | None = None  # (8W,) int32  x | y<<8 | z<<16
+    child_qhi: jnp.ndarray | None = None  # (8W,) int32
     depth: int = 1            # static: number of expansion levels
+    quantized: bool = False   # static: which box tables the cast uses
 
 
-def build_frontier_scene(bvh: BVH, tris: Triangles) -> FrontierScene:
+def _quantize_wide_boxes(cmin, cmax, present):
+    """Quantize (W,8,3) child AABBs to 8-bit offsets from a per-node
+    anchor at a power-of-two scale (the CWBVH/Ylitie exponent-byte form,
+    cwbvh_traverse.comp.glsl:237-253, tiny_bvh.h BVH8_CWBVH).
+
+    Conservative by verification: after floor/ceil quantization the f32
+    decode is checked against the true box and widened (or the node's
+    scale doubled) until decoded_lo <= lo and decoded_hi >= hi hold
+    exactly in f32 — traversal visits a superset, MT results unchanged.
+
+    Returns (anchor (W,3) f32, scale (W,3) f32, qlo (W,8) i32 packed
+    x|y<<8|z<<16, qhi (W,8) i32).  Missing children get qlo=255s, qhi=0
+    (inverted box) and are additionally culled by enc==0 in the cast.
+    """
+    pm = present[..., None]
+    anchor = np.where(pm, cmin, np.inf).min(axis=1)          # (W,3)
+    top = np.where(pm, cmax, -np.inf).max(axis=1)
+    anchor = np.where(np.isfinite(anchor), anchor, 0.0).astype(np.float32)
+    top = np.where(np.isfinite(top), top, 0.0).astype(np.float32)
+    extent = np.maximum(top - anchor, 0.0)
+    e = np.ceil(np.log2(np.maximum(extent, 1e-30) / 255.0))
+    scale = np.exp2(e).astype(np.float32)
+
+    lo = np.where(pm, cmin, anchor[:, None, :]).astype(np.float32)
+    hi = np.where(pm, cmax, anchor[:, None, :]).astype(np.float32)
+    for _attempt in range(4):
+        a3 = anchor[:, None, :]
+        s3 = scale[:, None, :]
+        qlo = np.clip(np.floor((lo - a3) / s3), 0, 255).astype(np.float32)
+        qhi = np.clip(np.ceil((hi - a3) / s3), 0, 255).astype(np.float32)
+        # widen one quantum where f32 decode rounding bites
+        for _ in range(2):
+            viol_lo = (a3 + qlo * s3).astype(np.float32) > lo
+            viol_hi = (a3 + qhi * s3).astype(np.float32) < hi
+            if not (viol_lo.any() or viol_hi.any()):
+                break
+            qlo = np.where(viol_lo & (qlo > 0), qlo - 1, qlo)
+            qhi = np.where(viol_hi & (qhi < 255), qhi + 1, qhi)
+        ok = ((a3 + qlo * s3).astype(np.float32) <= lo) & (
+            (a3 + qhi * s3).astype(np.float32) >= hi
+        )
+        bad_nodes = ~ok.all(axis=(1, 2))
+        if not bad_nodes.any():
+            break
+        scale = np.where(bad_nodes[:, None], scale * 2.0, scale)
+    else:
+        raise AssertionError("quantization not conservative after retries")
+
+    qlo = qlo.astype(np.int32)
+    qhi = qhi.astype(np.int32)
+    qlo = np.where(present, qlo[..., 0] | (qlo[..., 1] << 8)
+                   | (qlo[..., 2] << 16), 0x00FFFFFF)
+    qhi = np.where(present, qhi[..., 0] | (qhi[..., 1] << 8)
+                   | (qhi[..., 2] << 16), 0)
+    return anchor, scale, qlo.astype(np.int32), qhi.astype(np.int32)
+
+
+def build_frontier_scene(bvh: BVH, tris: Triangles,
+                         quantize: bool = False) -> FrontierScene:
     """Build the frontier tables from a binary BVH (host index math only;
     triangle components are device slices of the resident SoA).
 
@@ -142,6 +211,22 @@ def build_frontier_scene(bvh: BVH, tris: Triangles) -> FrontierScene:
         arr[:, a] for arr in (tris.v0, tris.edge1, tris.edge2)
         for a in range(3)
     )
+    if quantize:
+        anchor, scale, qlo, qhi = _quantize_wide_boxes(cmin, cmax, present)
+        return FrontierScene(
+            child_min_x=None, child_min_y=None, child_min_z=None,
+            child_max_x=None, child_max_y=None, child_max_z=None,
+            child_enc=jnp.asarray(enc.reshape(-1)),
+            leaf_first=jnp.asarray(lf[leaves].astype(np.int32)),
+            leaf_count=jnp.asarray(cnt[leaves].astype(np.int32)),
+            tri=tri,
+            node_pmin=tuple(jnp.asarray(anchor[:, a]) for a in range(3)),
+            node_psc=tuple(jnp.asarray(scale[:, a]) for a in range(3)),
+            child_qlo=jnp.asarray(qlo.reshape(-1)),
+            child_qhi=jnp.asarray(qhi.reshape(-1)),
+            depth=depth,
+            quantized=True,
+        )
     return FrontierScene(
         child_min_x=jnp.asarray(cmin[:, :, 0].reshape(-1)),
         child_min_y=jnp.asarray(cmin[:, :, 1].reshape(-1)),
@@ -222,30 +307,57 @@ def _cast_frontier_jit(
         nodes_visited = nodes_visited.at[pr].add(pv.astype(jnp.int32))
 
         # ---- 8-child slab tests, fully flat (P*8,) ---------------------
-        j = jnp.arange(p * 8, dtype=jnp.int32)
-        pj = jax.lax.shift_right_logical(j, 3)   # j // 8
-        kj = j & 7
-        ray = pr[pj]
-        fidx = pn[pj] * 8 + kj
+        # per-PAIR gathers expanded 8-wide by broadcast (a reshape, not a
+        # gather) — ray and node-anchor data cost P gathered elements
+        # instead of 8P; only per-child tables gather at 8P.
+        def rep8(a):
+            return jnp.broadcast_to(a[:, None], (p, 8)).reshape(p * 8)
+
+        kj = jnp.arange(p * 8, dtype=jnp.int32) & 7
+        ray = rep8(pr)
+        fidx = rep8(pn * 8) + kj
         enc = fs.child_enc[fidx]
 
-        rox, roy, roz = ox[ray], oy[ray], oz[ray]
-        rix, riy, riz = ix[ray], iy[ray], iz[ray]
-        t1 = (fs.child_min_x[fidx] - rox) * rix
-        t2 = (fs.child_max_x[fidx] - rox) * rix
+        rox, roy, roz = rep8(ox[pr]), rep8(oy[pr]), rep8(oz[pr])
+        rix, riy, riz = rep8(ix[pr]), rep8(iy[pr]), rep8(iz[pr])
+        if fs.quantized:
+            # CWBVH-style decode: anchor + byte * power-of-two scale
+            # (cwbvh_traverse.comp.glsl:237-253); 2 gathered words per
+            # child slot instead of 6 box floats
+            ax, ay, az = (rep8(c[pn]) for c in fs.node_pmin)
+            sx, sy, sz = (rep8(c[pn]) for c in fs.node_psc)
+            qlo = fs.child_qlo[fidx]
+            qhi = fs.child_qhi[fidx]
+            f32 = jnp.float32
+            lox = ax + (qlo & 255).astype(f32) * sx
+            hix = ax + (qhi & 255).astype(f32) * sx
+            loy = ay + ((qlo >> 8) & 255).astype(f32) * sy
+            hiy = ay + ((qhi >> 8) & 255).astype(f32) * sy
+            loz = az + ((qlo >> 16) & 255).astype(f32) * sz
+            hiz = az + ((qhi >> 16) & 255).astype(f32) * sz
+        else:
+            lox, hix = fs.child_min_x[fidx], fs.child_max_x[fidx]
+            loy, hiy = fs.child_min_y[fidx], fs.child_max_y[fidx]
+            loz, hiz = fs.child_min_z[fidx], fs.child_max_z[fidx]
+        t1 = (lox - rox) * rix
+        t2 = (hix - rox) * rix
         tn = jnp.minimum(t1, t2)
         tf = jnp.maximum(t1, t2)
-        t1 = (fs.child_min_y[fidx] - roy) * riy
-        t2 = (fs.child_max_y[fidx] - roy) * riy
+        t1 = (loy - roy) * riy
+        t2 = (hiy - roy) * riy
         tn = jnp.maximum(tn, jnp.minimum(t1, t2))
         tf = jnp.minimum(tf, jnp.maximum(t1, t2))
-        t1 = (fs.child_min_z[fidx] - roz) * riz
-        t2 = (fs.child_max_z[fidx] - roz) * riz
+        t1 = (loz - roz) * riz
+        t2 = (hiz - roz) * riz
         tn = jnp.maximum(tn, jnp.minimum(t1, t2))
         tf = jnp.minimum(tf, jnp.maximum(t1, t2))
-        cap_t = jnp.minimum(best_t[ray], t_max[ray])
-        # NaN boxes (missing children) fail both comparisons
-        hit = (tf >= jnp.maximum(tn, 0.0)) & (tn <= cap_t) & pv[pj]
+        cap_t = rep8(jnp.minimum(best_t[pr], t_max[pr]))
+        # NaN boxes (missing children) fail both comparisons; quantized
+        # tables mark missing children via enc==0 (nothing points at the
+        # root, so 0 is free) and the inverted qlo>qhi box
+        hit = (tf >= jnp.maximum(tn, 0.0)) & (tn <= cap_t) & rep8(pv)
+        if fs.quantized:
+            hit = hit & (enc != 0)
 
         isleaf = (enc & 1) == 1
         cptr = jax.lax.shift_right_logical(enc, 1)

@@ -47,8 +47,11 @@ class RayScene:
     bvh: BVH
     wide: WideScene | None = None
     use_bvh: bool = True       # validation switch (ray_scene.h:59)
-    backend: str = "pallas"    # "pallas" | "frontier" | "jnp" | "brute"
+    # "pallas" | "frontier" | "frontier_q" (quantized CWBVH-style boxes)
+    # | "jnp" | "brute"
+    backend: str = "pallas"
     _frontier: FrontierScene | None = None
+    _frontier_q: FrontierScene | None = None
 
     @property
     def num_tris(self) -> int:
@@ -61,6 +64,18 @@ class RayScene:
             self._frontier = build_frontier_scene(self.bvh, self.tris)
         return self._frontier
 
+    @property
+    def frontier_q(self) -> FrontierScene:
+        """Quantized (CWBVH-equivalent) frontier tables, built lazily."""
+        if self._frontier_q is None:
+            self._frontier_q = build_frontier_scene(
+                self.bvh, self.tris, quantize=True
+            )
+        return self._frontier_q
+
+    def _frontier_for_backend(self) -> FrontierScene:
+        return self.frontier_q if self.backend == "frontier_q" else self.frontier
+
     def cast_rays(self, rays: Rays, query_mask=ALL_LAYERS) -> tuple[Hits, RayStats]:
         """Batched closest-hit cast (ray_scene.h:96-131 semantics).
 
@@ -71,9 +86,9 @@ class RayScene:
         """
         if not self.use_bvh or self.backend == "brute":
             return cast_rays_brute(rays, self.tris, query_mask)
-        if self.backend == "frontier":
+        if self.backend in ("frontier", "frontier_q"):
             hits, stats, _ = cast_rays_frontier(
-                rays, self.frontier, self.tris, int(query_mask)
+                rays, self._frontier_for_backend(), self.tris, int(query_mask)
             )
             return hits, stats
         if self.backend == "pallas" and self.wide is not None:
@@ -86,9 +101,10 @@ class RayScene:
         """Batched occlusion query (ray_scene.h:135-160 semantics)."""
         if not self.use_bvh or self.backend == "brute":
             return any_hit_brute(rays, self.tris, query_mask)
-        if self.backend == "frontier":
+        if self.backend in ("frontier", "frontier_q"):
             _, _, occluded = cast_rays_frontier(
-                rays, self.frontier, self.tris, int(query_mask), any_hit=True
+                rays, self._frontier_for_backend(), self.tris,
+                int(query_mask), any_hit=True,
             )
             return occluded
         if self.backend == "pallas" and self.wide is not None:

@@ -108,6 +108,62 @@ class TestFrontierParity:
         np.testing.assert_array_equal(np.asarray(h.prim_id),
                                       np.asarray(hb.prim_id))
 
+    def test_quantized_parity(self):
+        # CWBVH-equivalent 8-bit boxes: conservative rounding means the
+        # traversal visits a superset — t/prim_id results stay EXACT
+        scene, rays = _scene_and_rays()
+        sq = scene
+        sq.backend = "frontier_q"
+        hb, _ = cast_rays_brute(rays, scene.tris)
+        h, stats = sq.cast_rays(rays)
+        np.testing.assert_array_equal(np.asarray(h.prim_id),
+                                      np.asarray(hb.prim_id))
+        np.testing.assert_allclose(np.asarray(h.t), np.asarray(hb.t),
+                                   rtol=1e-6)
+        occ = sq.any_hit_rays(rays)
+        occ_b = any_hit_brute(rays, scene.tris)
+        np.testing.assert_array_equal(np.asarray(occ), np.asarray(occ_b))
+
+    def test_quantized_conservative_superset(self):
+        # quantized tri-tests may only exceed the exact-box counts
+        scene, rays = _scene_and_rays()
+        _, stats_e, _ = cast_rays_frontier(rays, scene.frontier, scene.tris)
+        _, stats_q, _ = cast_rays_frontier(rays, scene.frontier_q, scene.tris)
+        assert float(stats_q.tri_tests) >= float(stats_e.tri_tests)
+        # inflation from 8-bit boxes should be mild (<35%)
+        assert float(stats_q.tri_tests) <= 1.35 * float(stats_e.tri_tests)
+
+    def test_quantized_tables_smaller(self):
+        scene, _ = _scene_and_rays()
+        fe, fq = scene.frontier, scene.frontier_q
+        exact_bytes = 7 * 4 * fe.child_enc.shape[0]
+        q_bytes = (3 * 4 * fq.child_enc.shape[0]
+                   + 6 * 4 * fq.node_pmin[0].shape[0])
+        assert q_bytes < 0.55 * exact_bytes
+
+    def test_quantized_decode_is_conservative(self):
+        # decoded boxes must contain the exact boxes, elementwise in f32
+        scene, _ = _scene_and_rays()
+        fe, fq = scene.frontier, scene.frontier_q
+        present = ~np.isnan(np.asarray(fe.child_min_x))
+        # the quantized cast culls missing children via enc==0
+        np.testing.assert_array_equal(present, np.asarray(fq.child_enc) != 0)
+        w = np.arange(present.shape[0]) // 8
+        for axis, (lo_e, hi_e) in enumerate(
+            [(fe.child_min_x, fe.child_max_x),
+             (fe.child_min_y, fe.child_max_y),
+             (fe.child_min_z, fe.child_max_z)]
+        ):
+            a = np.asarray(fq.node_pmin[axis])[w]
+            s = np.asarray(fq.node_psc[axis])[w]
+            qlo = (np.asarray(fq.child_qlo) >> (8 * axis)) & 255
+            qhi = (np.asarray(fq.child_qhi) >> (8 * axis)) & 255
+            dec_lo = (a + qlo.astype(np.float32) * s).astype(np.float32)
+            dec_hi = (a + qhi.astype(np.float32) * s).astype(np.float32)
+            lo_e, hi_e = np.asarray(lo_e), np.asarray(hi_e)
+            assert (dec_lo[present] <= lo_e[present]).all()
+            assert (dec_hi[present] >= hi_e[present]).all()
+
     def test_per_ray_stats(self):
         scene, rays = _scene_and_rays()
         h, stats, found, per_ray = cast_rays_frontier(

@@ -15,6 +15,27 @@ batch-cast surface with the same hit semantics
 
 __version__ = "0.1.0"
 
+
+def _tune_malloc():
+    """Keep 100MB-class build buffers on the heap instead of mmap.
+
+    glibc mmap()s allocations above ~32MB and returns them to the OS on
+    free, so every scene (re)build pays first-touch page faults on its
+    large numpy staging buffers — measured ~25s of a 39s cold 1M-triangle
+    build.  Raising M_MMAP_THRESHOLD (mallopt param -3) makes the heap
+    reuse those pages: cold build 39s -> 14s, warm 14s -> 9s (CPU host).
+    """
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL(None, use_errno=True)
+        libc.mallopt(-3, 1 << 30)  # M_MMAP_THRESHOLD = 1 GB
+    except Exception:
+        pass  # non-glibc platforms: harmless to skip
+
+
+_tune_malloc()
+
 from .core.types import (  # noqa: F401
     ALL_LAYERS,
     NO_HIT,

@@ -69,6 +69,8 @@ from .wide import (
 )
 
 SROWS = 16                     # sublane rows per ray tile (measured best)
+COL_LEAF_F = 40                # columnar leaf fields (36 tri + count + pad)
+MEGA_COLUMNAR = False          # default layout for the megakernel (knob)
 DIM_SEMANTICS = "arbitrary"    # grid dimension semantics (perf knob)
 VMEM_LIMIT = 100 * 1024 * 1024  # Mosaic VMEM budget (perf/capacity knob)
 N_SLOTS = 1                    # interleaved tile traversals (1 measured best)
@@ -545,9 +547,11 @@ def _mega_kernel(
     nodes_hbm, leaf_hbm,        # scene (HBM)
     fout_hbm, iout_hbm,         # (T*3*srows, 128) f32, (T*2*srows, 128) i32
     pops_out,                   # (1, 1) i32 SMEM
-    ray_buf, fbuf, ibuf, stack_ref, queue_ref, nodes_ref, leaf_ref, sems,
+    ray_buf, fbuf, ibuf, stack_ref, queue_ref, nodes_ref, leaf_ref,
+    colbc_ref, sems,
     *, any_hit: bool, dummy_enc: int, dummy_leaf: int, srows: int,
     branching: int, num_tiles: int, qdrain: int, interleave: int = 1,
+    columnar: bool = False,
 ):
     """Single-invocation traversal over ALL ray tiles (the "megakernel").
 
@@ -590,6 +594,51 @@ def _mega_kernel(
     dummy_node = dummy_enc >> 1
     num_groups = num_tiles // S
     assert num_groups * S == num_tiles
+
+    # ---- field accessors: row layout vs columnar layout ---------------
+    # Row layout reads each field as a vector->scalar lane extract (~37
+    # per leaf, ~57 per node) — the measured dominant per-iteration cost.
+    # Columnar layout stores a leaf/node's fields down a lane COLUMN of a
+    # (F,128) block: one dynamic block pick + lane roll + ONE lane
+    # broadcast makes every field a (1,128) vector operand (sublane
+    # broadcast against the (srows,128) tile) — no per-field extracts.
+    # The broadcast round-trips through a VMEM scratch ref: slicing the
+    # broadcast VALUE directly lets the compiler fold it back into a
+    # per-field (1,1)->(srows,128) both-axis broadcast, which Mosaic
+    # rejects; ref reads cannot be folded.  Each (slot, drain-j) pair has
+    # its own scratch region so consecutive leaf batches don't serialize
+    # on the same rows.
+    _bc_stride = qdrain * COL_LEAF_F + nstride
+
+    def _leaf_get(li, si, j):
+        if columnar:
+            base = si * _bc_stride + j * COL_LEAF_F
+            block = leaf_ref[li >> 7]
+            rot = pltpu.roll(block, -(li & 127), axis=1)
+            colbc_ref[base:base + COL_LEAF_F, :] = jnp.broadcast_to(
+                rot[:, 0:1], (COL_LEAF_F, 128)
+            )
+            return lambda k: colbc_ref[base + k:base + k + 1, :]
+        row = leaf_ref[pl.ds(li // LEAVES_PER_ROW, 1), :]
+        rot = pltpu.roll(row, -(li % LEAVES_PER_ROW) * LEAF_STRIDE, axis=1)
+        return lambda k: rot[0, k]
+
+    def _node_get(nidx, si):
+        """Returns (vector_get, scalar_get) for box fields vs enc/axis."""
+        if columnar:
+            base = si * _bc_stride + qdrain * COL_LEAF_F
+            block = nodes_ref[nidx >> 7]
+            rot = pltpu.roll(block, -(nidx & 127), axis=1)
+            colbc_ref[base:base + nstride, :] = jnp.broadcast_to(
+                rot[:, 0:1], (nstride, 128)
+            )
+            return (
+                lambda k: colbc_ref[base + k:base + k + 1, :],
+                lambda k: rot[k, 0],
+            )
+        row = nodes_ref[pl.ds(nidx // npr, 1), :]
+        rot = pltpu.roll(row, -(nidx % npr) * nstride, axis=1)
+        return (lambda k: rot[0, k]), (lambda k: rot[0, k])
 
     def _ray_in(g, pb):
         return pltpu.make_async_copy(
@@ -659,14 +708,12 @@ def _mega_kernel(
             for j in range(qdrain):
                 li = jnp.where(j < qlen, queue_ref[si, (qh + j) & 15],
                                jnp.int32(dummy_leaf))
-                row = leaf_ref[pl.ds(li // LEAVES_PER_ROW, 1), :]
-                rot = pltpu.roll(row, -(li % LEAVES_PER_ROW) * LEAF_STRIDE,
-                                 axis=1)
+                get = _leaf_get(li, si, j)
                 for k in range(LEAF_CAP):
                     b = 9 * k
-                    v0 = (rot[0, b], rot[0, b + 1], rot[0, b + 2])
-                    e1 = (rot[0, b + 3], rot[0, b + 4], rot[0, b + 5])
-                    e2 = (rot[0, b + 6], rot[0, b + 7], rot[0, b + 8])
+                    v0 = (get(b), get(b + 1), get(b + 2))
+                    e1 = (get(b + 3), get(b + 4), get(b + 5))
+                    e2 = (get(b + 6), get(b + 7), get(b + 8))
                     pvx = d[1] * e2[2] - d[2] * e2[1]
                     pvy = d[2] * e2[0] - d[0] * e2[2]
                     pvz = d[0] * e2[1] - d[1] * e2[0]
@@ -694,7 +741,7 @@ def _mega_kernel(
                     slot = jnp.where(valid, cand, slot)
                     uu = jnp.where(valid, u, uu)
                     vv = jnp.where(valid, v, vv)
-                tt = tt + rot[0, 36].astype(jnp.int32)
+                tt = tt + get(36).astype(jnp.int32)
             qh = qh + jnp.minimum(qlen, qdrain)
             cap = jnp.minimum(best_t, t_max)
 
@@ -707,15 +754,14 @@ def _mega_kernel(
                              jnp.int32(dummy_node))
             sp = jnp.where(active, sp - 1, sp)
             pops = pops + active.astype(jnp.int32)
-            row = nodes_ref[pl.ds(nidx // npr, 1), :]
-            rot = pltpu.roll(row, -(nidx % npr) * nstride, axis=1)
+            vget, sget = _node_get(nidx, si)
 
             def slab_hit(b0):
                 tn = jnp.full(shape, -_BIG, jnp.float32)
                 tf = jnp.full(shape, _BIG, jnp.float32)
                 for a in range(3):
-                    t1 = (rot[0, b0 + a] - o[a]) * inv[a]
-                    t2 = (rot[0, b0 + 3 + a] - o[a]) * inv[a]
+                    t1 = (vget(b0 + a) - o[a]) * inv[a]
+                    t2 = (vget(b0 + 3 + a) - o[a]) * inv[a]
                     tn = jnp.maximum(tn, jnp.minimum(t1, t2))
                     tf = jnp.minimum(tf, jnp.maximum(t1, t2))
                 return (tf >= jnp.maximum(tn, 0.0)) & (tn <= cap)
@@ -728,9 +774,9 @@ def _mega_kernel(
                 m = jnp.sum(packed)
                 any_l = m >= 65536
                 any_r = (m & 65535) > 0
-                lenc = rot[0, 12].astype(jnp.int32)
-                renc = rot[0, 13].astype(jnp.int32)
-                axis = rot[0, 14].astype(jnp.int32)
+                lenc = sget(12).astype(jnp.int32)
+                renc = sget(13).astype(jnp.int32)
+                axis = sget(14).astype(jnp.int32)
                 l_near = jnp.where(
                     axis == 0, sgn[0], jnp.where(axis == 1, sgn[1], sgn[2])
                 )
@@ -758,9 +804,9 @@ def _mega_kernel(
                         m_lo if k < 4 else m_hi, 8 * (k % 4)) & 255) > 0
                     for k in range(WIDE8_CAP)
                 ]
-                encs = [rot[0, 48 + k].astype(jnp.int32)
+                encs = [sget(48 + k).astype(jnp.int32)
                         for k in range(WIDE8_CAP)]
-                axis = rot[0, 56].astype(jnp.int32)
+                axis = sget(56).astype(jnp.int32)
                 fwd = jnp.where(
                     axis == 0, sgn[0], jnp.where(axis == 1, sgn[1], sgn[2])
                 )
@@ -857,7 +903,7 @@ QDRAIN = 4  # queued leaves intersected per traversal iteration
 
 def _call_mega(rays_packed, nodes, leaf_tris, *, any_hit, interpret,
                num_tiles, dummy_enc, dummy_leaf, srows, branching,
-               qdrain=None, interleave=1):
+               qdrain=None, interleave=1, columnar=False):
     if qdrain is None:
         qdrain = QDRAIN
     S = interleave
@@ -868,6 +914,7 @@ def _call_mega(rays_packed, nodes, leaf_tris, *, any_hit, interpret,
         _mega_kernel, any_hit=any_hit, dummy_enc=dummy_enc,
         dummy_leaf=dummy_leaf, srows=srows, branching=branching,
         num_tiles=num_tiles, qdrain=qdrain, interleave=S,
+        columnar=columnar,
     )
     hbm = pl.BlockSpec(memory_space=pl.ANY)
     cp = pltpu.CompilerParams(
@@ -892,8 +939,15 @@ def _call_mega(rays_packed, nodes, leaf_tris, *, any_hit, interpret,
             pltpu.VMEM((2 * S * irows, 128), jnp.int32),    # i32 out (dbuf)
             pltpu.SMEM((S, KSTACK + 1), jnp.int32),
             pltpu.SMEM((S, 17), jnp.int32),   # leaf ring queue + sacrificial
-            pltpu.VMEM(nodes.shape, jnp.float32),
+            pltpu.VMEM(nodes.shape, jnp.float32),   # row OR columnar 3D
             pltpu.VMEM(leaf_tris.shape, jnp.float32),
+            # columnar broadcast staging (per slot x per drain-j + node)
+            pltpu.VMEM(
+                ((S * (qdrain * COL_LEAF_F
+                       + (NODE8_STRIDE if branching == 8 else NODE_STRIDE)))
+                 if columnar else 8, 128),
+                jnp.float32,
+            ),
             # 0-1 scene staging; 2+pb ray-in; 4+pb f-out; 6+pb i-out
             pltpu.SemaphoreType.DMA((8,)),
         ],
@@ -911,6 +965,7 @@ def cast_rays_wide(
     stream_leaves: bool | None = None,
     stream_nodes: bool | None = None,
     srows: int = SROWS,
+    columnar: bool | None = None,
 ) -> tuple[Hits, RayStats, jnp.ndarray]:
     """Cast a ray batch through the wide-node scene (binary dual-AABB or
     8-wide, per ``scene.branching``) with the Pallas kernel.
@@ -929,18 +984,36 @@ def cast_rays_wide(
         stream_leaves = getattr(scene, "stream_leaves", False)
     if stream_nodes is None:
         stream_nodes = getattr(scene, "stream_nodes", False)
+    if columnar is None:
+        columnar = MEGA_COLUMNAR
     return _cast_rays_wide_jit(
         rays, scene, query_mask=int(query_mask), any_hit=any_hit,
         interpret=interpret, n_slots=n_slots, stream_leaves=stream_leaves,
-        stream_nodes=stream_nodes, srows=srows,
+        stream_nodes=stream_nodes, srows=srows, columnar=columnar,
     )  # branching rides on scene (static pytree meta)
+
+
+def _to_columnar(rows2d, stride, nfields):
+    """Re-layout lane-packed rows (NR,128; ``128//stride`` entries per
+    row) into columnar blocks (NB, nfields, 128): entry i's fields run
+    down lane i&127 of block i>>7.  Pure reshape/pad/transpose — runs on
+    device inside the cast jit (~tens of us for MB-scale scenes)."""
+    flat = rows2d.reshape(-1, stride)[:, :nfields]
+    n = flat.shape[0]
+    nb = max(-(-n // 128), 1)
+    pad = nb * 128 - n
+    if pad:
+        flat = jnp.concatenate(
+            [flat, jnp.zeros((pad, nfields), flat.dtype)]
+        )
+    return flat.reshape(nb, 128, nfields).swapaxes(1, 2)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "query_mask", "any_hit", "interpret", "n_slots", "stream_leaves",
-        "stream_nodes", "srows",
+        "stream_nodes", "srows", "columnar",
     ),
 )
 def _cast_rays_wide_jit(
@@ -954,6 +1027,7 @@ def _cast_rays_wide_jit(
     stream_leaves: bool,
     stream_nodes: bool,
     srows: int = SROWS,
+    columnar: bool = False,
 ) -> tuple[Hits, RayStats, jnp.ndarray]:
     n = rays.count
     mega = not (stream_leaves or stream_nodes)
@@ -994,11 +1068,19 @@ def _cast_rays_wide_jit(
         packed = jnp.stack(
             [f.reshape(num_steps, srows, 128) for f in rfields], axis=1
         ).reshape(num_steps * 8 * srows, 128)
+        nodes_in = scene.nodes
+        leaf_in = leaf_tris
+        if columnar:
+            nstride = (NODE8_STRIDE if scene.branching == 8
+                       else NODE_STRIDE)
+            nodes_in = _to_columnar(scene.nodes, nstride, nstride)
+            leaf_in = _to_columnar(leaf_tris, LEAF_STRIDE, COL_LEAF_F)
         fout, iout, pops_tot = _call_mega(
-            packed, scene.nodes, leaf_tris,
+            packed, nodes_in, leaf_in,
             any_hit=any_hit, interpret=interpret, num_tiles=num_steps,
             dummy_enc=scene.dummy_enc, dummy_leaf=scene.dummy_leaf,
             srows=srows, branching=scene.branching, interleave=n_slots,
+            columnar=columnar,
         )
         f4 = fout.reshape(num_steps, 3, srows * 128)
         i4 = iout.reshape(num_steps, 2, srows * 128)

@@ -88,13 +88,21 @@ class WideScene:
 
 
 def _pack_idx(rows: np.ndarray, per_row: int, stride: int, fill: int):
-    """Pack per-node index rows into (NR, 128) with pad entries = ``fill``."""
+    """Pack per-node index rows into (NR, 128) with pad entries = ``fill``.
+
+    Fills only the pad region (np.empty + partial writes): np.full on a
+    fresh 100MB-class array costs seconds of first-touch page faults at
+    1M-triangle scale (measured), and most of it is immediately
+    overwritten."""
     n, w = rows.shape
     assert stride * per_row == 128 and w <= stride
     nr = -(-n // per_row)
     nr_pad = max(-(-nr // 8) * 8, 8)  # sublane multiple
-    buf = np.full((nr_pad * per_row, stride), fill, rows.dtype)
+    buf = np.empty((nr_pad * per_row, stride), rows.dtype)
     buf[:n, :w] = rows
+    if w < stride:
+        buf[:n, w:] = fill
+    buf[n:] = fill
     return buf.reshape(nr_pad, 128)
 
 
@@ -149,7 +157,7 @@ def build_wide_scene(bvh: BVH, tris: Triangles, _np=None,
     waxis = np.zeros(num_wide, np.float32)
     zero_pos = cb + 3 * num_wide
     nan_pos = zero_pos + 1
-    nidx = np.full((num_wide, NODE_STRIDE), zero_pos, np.int64)
+    nidx = np.full((num_wide, NODE_STRIDE), zero_pos, np.int32)
     nidx[-1, 0:12] = nan_pos  # dummy node
 
     axes = np.arange(3)
@@ -200,7 +208,7 @@ def build_wide_scene(bvh: BVH, tris: Triangles, _np=None,
     valid = ks < c
     cb2 = 9 * t
     zero2 = cb2 + num_leaf
-    lidx = np.full((max(num_leaf, 1), LEAF_STRIDE), zero2, np.int64)
+    lidx = np.full((max(num_leaf, 1), LEAF_STRIDE), zero2, np.int32)
     for k in range(LEAF_CAP):
         b = 9 * k
         s3 = 3 * slots[:, k : k + 1] + axes[None, :]
@@ -215,7 +223,7 @@ def build_wide_scene(bvh: BVH, tris: Triangles, _np=None,
     # +1 all-zero dummy leaf: branch-free kernel pops fetch it when the
     # popped entry is an internal node (zero edges -> MT self-rejects)
     lidx = np.concatenate([lidx[:num_leaf],
-                           np.full((1, LEAF_STRIDE), zero2, np.int64)])
+                           np.full((1, LEAF_STRIDE), zero2, np.int32)])
     leaf_idx = _pack_idx(lidx, LEAVES_PER_ROW, LEAF_STRIDE, zero2)
 
     # --- materialize via the same gather the device refresh uses -------
@@ -261,7 +269,7 @@ def _collapse8(amin: np.ndarray, amax: np.ndarray, lf: np.ndarray,
     Greedy: starting from a node's two children, repeatedly expand the
     internal child with the largest surface area until 8 children (the
     standard BVH2->BVH8 collapse, tiny_bvh.h BVH8 conversion shape).
-    Returns (children, axis): ``children`` is an (W, 8) int64 array of
+    Returns (children, axis): ``children`` is an (W, 8) int32 array of
     binary node ids (-1 = missing), sorted per node along ``axis`` (W,)
     by box centroid for consensus front-to-back ordering.
 
@@ -275,17 +283,17 @@ def _collapse8(amin: np.ndarray, amax: np.ndarray, lf: np.ndarray,
 
     if bool(is_leaf[0]):
         # degenerate: root is a leaf — one wide node holding it
-        return (np.array([[0] + [-1] * 7], np.int64), np.zeros(1, np.int64))
+        return (np.array([[0] + [-1] * 7], np.int32), np.zeros(1, np.int32))
 
     children_lvls: list[np.ndarray] = []
     axes_lvls: list[np.ndarray] = []
-    frontier = np.array([0], np.int64)   # binary ids becoming wide nodes
+    frontier = np.array([0], np.int32)   # binary ids becoming wide nodes
     while frontier.size:
         f = frontier.size
-        kids = np.full((f, WIDE8_CAP), -1, np.int64)
+        kids = np.full((f, WIDE8_CAP), -1, np.int32)
         kids[:, 0] = frontier + 1
         kids[:, 1] = lf[frontier]
-        ncount = np.full(f, 2, np.int64)
+        ncount = np.full(f, 2, np.int32)
         # greedy expansion: 6 rounds of replace-max-area-internal-child
         for _ in range(WIDE8_CAP - 2):
             present = kids >= 0
@@ -316,8 +324,8 @@ def _collapse8(amin: np.ndarray, amax: np.ndarray, lf: np.ndarray,
         flat = kids.reshape(-1)
         flat = flat[flat >= 0]
         frontier = flat[~is_leaf[flat]]                    # row-major BFS
-    return (np.concatenate(children_lvls).astype(np.int64),
-            np.concatenate(axes_lvls).astype(np.int64))
+    return (np.concatenate(children_lvls).astype(np.int32),
+            np.concatenate(axes_lvls).astype(np.int32))
 
 
 def build_wide8_scene(bvh: BVH, tris: Triangles, _np=None,
@@ -359,7 +367,7 @@ def build_wide8_scene(bvh: BVH, tris: Triangles, _np=None,
     num_leaf = len(leaves)
 
     children, waxes = _collapse8(amin, amax, lf, cnt)
-    children = children.astype(np.int32)
+    children = np.asarray(children, np.int32)
     nw = children.shape[0]
     num_wide = nw + 1  # trailing NaN dummy
     # wide id per binary node: internal children in BFS order get ids
@@ -410,7 +418,11 @@ def build_wide8_scene(bvh: BVH, tris: Triangles, _np=None,
     valid = ks < c
     cb2 = 9 * t
     zero2 = cb2 + num_leaf
-    lidx = np.full((max(num_leaf, 1) + 1, LEAF_STRIDE), zero2, np.int32)
+    # empty + pad-only fill: the k-loop below assigns lanes 0..36 of every
+    # real row, so np.full would write this 60MB-class array twice
+    lidx = np.empty((max(num_leaf, 1) + 1, LEAF_STRIDE), np.int32)
+    lidx[:, 37:] = zero2
+    lidx[num_leaf:] = zero2
     for k in range(LEAF_CAP):
         b = 9 * k
         s3 = 3 * slots[:, k : k + 1] + axes[None, :]

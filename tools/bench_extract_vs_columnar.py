@@ -79,7 +79,7 @@ def kernel_extract(rays, leaf_rows, out, *, iters, nleaf):
     out[:, :] = best
 
 
-def kernel_columnar(rays, leaf_col, out, *, iters, nleaf):
+def kernel_columnar(rays, leaf_col, out, bc_ref, *, iters, nleaf):
     o = tuple(rays[f * SROWS:(f + 1) * SROWS, :] for f in range(3))
     d = tuple(rays[(3 + f) * SROWS:(4 + f) * SROWS, :] for f in range(3))
 
@@ -87,8 +87,11 @@ def kernel_columnar(rays, leaf_col, out, *, iters, nleaf):
         li, best_t = carry
         block = leaf_col[li >> 7]                      # (NFIELD, 128)
         rot = pltpu.roll(block, -(li & 127), axis=1)
-        bc = jnp.broadcast_to(rot[:, 0:1], (NFIELD, 128))
-        best_t = _mt_from_scalars(o, d, lambda k: bc[k:k + 1, :], best_t)
+        # scratch-ref round trip pins the (F,128) broadcast (slicing the
+        # value directly gets folded into an unsupported (1,1) broadcast)
+        bc_ref[:, :] = jnp.broadcast_to(rot[:, 0:1], (NFIELD, 128))
+        best_t = _mt_from_scalars(o, d, lambda k: bc_ref[k:k + 1, :],
+                                  best_t)
         li = (li * 5 + 1) % nleaf
         return li, best_t
 
@@ -120,13 +123,14 @@ def main():
 
     rays = rng.normal(size=(8 * SROWS, 128)).astype(np.float32)
 
-    def run(kern, table, scratch_shape):
+    def run(kern, table, scratch_shapes=()):
         f = pl.pallas_call(
             functools.partial(kern, iters=args.iters, nleaf=nleaf),
             out_shape=jax.ShapeDtypeStruct(SHAPE, jnp.float32),
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
                       pl.BlockSpec(memory_space=pltpu.VMEM)],
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            scratch_shapes=list(scratch_shapes),
             interpret=args.interpret,
         )
         g = jax.jit(lambda r, t: f(r, t))
@@ -139,9 +143,10 @@ def main():
         dt = (time.time() - t0) / args.reps
         return dt / args.iters * 1e9, res
 
-    ns_a, res_a = run(kernel_extract, jnp.asarray(rows), None)
+    ns_a, res_a = run(kernel_extract, jnp.asarray(rows))
     print(f"extract : {ns_a:8.1f} ns/iter", flush=True)
-    ns_b, res_b = run(kernel_columnar, jnp.asarray(cols), None)
+    ns_b, res_b = run(kernel_columnar, jnp.asarray(cols),
+                      [pltpu.VMEM((NFIELD, 128), jnp.float32)])
     print(f"columnar: {ns_b:8.1f} ns/iter  (speedup {ns_a/ns_b:.2f}x)",
           flush=True)
     same = np.allclose(np.asarray(res_a), np.asarray(res_b))

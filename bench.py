@@ -96,6 +96,19 @@ def main():
     dt, hits, stats = timed_cast(scene, rays, 5)
     mrays = n / dt / 1e6
 
+    # ---- roofline / utilization model ----------------------------------
+    # The megakernel executes, per traversal iteration over a 2048-ray
+    # tile: one 8-wide node pop (8 slab tests x ~22 flops) + qdrain=4
+    # leaf batches (4 tris x ~50 flop MT) across all lanes -> ~2.0 Mflop
+    # of issued VPU work per iteration; iterations ~= pops.  v5e VPU f32
+    # peak is ~3.9 Tflop/s (8x128 lanes x 2 flop FMA x ~0.94 GHz x dual
+    # issue) — vpu_frac says how far the serial pop chain + scalar moves
+    # keep us from the vector roofline.  (The MXU is idle by design; see
+    # PERF.md for the tensor-core-traversal discussion.)
+    pops = float(stats.bvh_nodes_visited)
+    issued_gflop = pops * 2.0e6 / 1e9
+    vpu_frac = (issued_gflop / dt) / 3900.0
+
     # ---- secondary: the 1M-tri BASELINE scene (full-streaming kernel) --
     g1m = meshes.plane(40.0, y=0.0, subdiv=710)
     g1m[:, :, 1] = (np.sin(g1m[:, :, 0] * 0.7) * np.cos(g1m[:, :, 2] * 0.6)) * 1.5
@@ -131,6 +144,10 @@ def main():
                     "mrays_1m_tris": round(n / dt1m / 1e6, 3),
                     "parity_1m": parity_1m,
                     "build_1m_s": round(build1m_s, 2),
+                    "pops": int(pops),
+                    "issued_vpu_gflop_per_frame": round(issued_gflop, 2),
+                    "achieved_vpu_gflop_s": round(issued_gflop / dt, 1),
+                    "vpu_peak_frac": round(vpu_frac, 4),
                     "device": str(jax.devices()[0]),
                 },
             }

@@ -242,6 +242,37 @@ def build_frontier_scene(bvh: BVH, tris: Triangles,
     )
 
 
+_warned_large = False
+
+
+def _warn_large_on_tpu(n: int) -> None:
+    """The frontier backend is gather-bound on TPU (~2.4 ns/element, XLA
+    gathers are near-serial — PERF.md round-2 findings) and frame-scale
+    buffer sets have crashed the TPU worker.  It is the right backend for
+    CPU runs, debug grids, and small TLAS batches; route frame-scale TPU
+    casts through the Pallas kernel instead."""
+    global _warned_large
+    if _warned_large or n <= 65536:
+        return
+    try:
+        import jax
+
+        if jax.devices()[0].platform in ("tpu", "axon"):
+            import warnings
+
+            warnings.warn(
+                f"frontier cast of {n} rays on a TPU backend: XLA "
+                "gathers serialize on TPU (expect ~0.03 Mrays/s) and "
+                "frame-scale frontier buffers have crashed TPU workers. "
+                "Use the 'pallas' backend for large TPU casts.",
+                RuntimeWarning,
+                stacklevel=3,
+            )
+            _warned_large = True
+    except Exception:
+        pass
+
+
 def _safe_inv(x):
     """Identical safe inverse to the Pallas kernel (core/ray.h:62-75)."""
     small = jnp.abs(x) < INV_DIR_EPS
@@ -493,6 +524,7 @@ def cast_rays_frontier(
     silently truncates.
     """
     n = int(rays.count)
+    _warn_large_on_tpu(n)
     pf, lf_ = pair_cap_factor, leaf_cap_factor
     for _attempt in range(4):
         hits, stats, found, overflow, per_ray = _cast_frontier_jit(

@@ -533,7 +533,10 @@ def cast_rays_tlas(rays: Rays, ft: FrontierTLAS,
 
     Overflow retries with doubled caps — never silently truncates.
     """
+    from .frontier import _warn_large_on_tpu
+
     n = int(rays.count)
+    _warn_large_on_tpu(n)
     fi, fp, fl = inst_cap_factor, pair_cap_factor, leaf_cap_factor
     for _attempt in range(4):
         hits, stats, found, inst, overflow = _cast_tlas_jit(

@@ -44,6 +44,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -608,7 +609,8 @@ def _mega_kernel(
     # rejects; ref reads cannot be folded.  Each (slot, drain-j) pair has
     # its own scratch region so consecutive leaf batches don't serialize
     # on the same rows.
-    _bc_stride = qdrain * COL_LEAF_F + nstride
+    ncol_f = QCOL_F if columnar == "q" else nstride
+    _bc_stride = qdrain * COL_LEAF_F + ncol_f
 
     def _leaf_get(li, si, j):
         if columnar:
@@ -624,14 +626,44 @@ def _mega_kernel(
         return lambda k: rot[0, k]
 
     def _node_get(nidx, si):
-        """Returns (vector_get, scalar_get) for box fields vs enc/axis."""
+        """Returns (vector_get, scalar_get) for box fields vs enc/axis.
+
+        In quantized-columnar mode ("q") vector_get is instead a list of
+        8 decoded child boxes (lox,hix,loy,hiy,loz,hiz) as (1,128)
+        operands, and scalar_get keeps the ROW-layout lane numbering
+        (enc at 48+k, axis at 56) so call sites stay uniform."""
         if columnar:
             base = si * _bc_stride + qdrain * COL_LEAF_F
             block = nodes_ref[nidx >> 7]
             rot = pltpu.roll(block, -(nidx & 127), axis=1)
-            colbc_ref[base:base + nstride, :] = jnp.broadcast_to(
-                rot[:, 0:1], (nstride, 128)
+            colbc_ref[base:base + ncol_f, :] = jnp.broadcast_to(
+                rot[:, 0:1], (ncol_f, 128)
             )
+            if columnar == "q":
+                def bc(k):
+                    return colbc_ref[base + k:base + k + 1, :]
+
+                anc = [bc(a) for a in range(3)]
+                scl = [bc(3 + a) for a in range(3)]
+                boxes = []
+                for k in range(WIDE8_CAP):
+                    ql = bc(6 + k).astype(jnp.int32)
+                    qh = bc(14 + k).astype(jnp.int32)
+                    b6 = []
+                    for a, sh in enumerate((0, 8, 16)):
+                        qla = ((ql >> sh) & 255).astype(jnp.float32)
+                        qha = ((qh >> sh) & 255).astype(jnp.float32)
+                        b6.append(anc[a] + qla * scl[a])
+                        b6.append(anc[a] + qha * scl[a])
+                    # b6 = [lox,hix,loy,hiy,loz,hiz]
+                    boxes.append(b6)
+
+                def sget_q(k):
+                    if k == 56:
+                        return rot[30, 0]
+                    return rot[22 + (k - 48), 0]
+
+                return boxes, sget_q
             return (
                 lambda k: colbc_ref[base + k:base + k + 1, :],
                 lambda k: rot[k, 0],
@@ -757,13 +789,25 @@ def _mega_kernel(
             vget, sget = _node_get(nidx, si)
 
             def slab_hit(b0):
-                tn = jnp.full(shape, -_BIG, jnp.float32)
-                tf = jnp.full(shape, _BIG, jnp.float32)
-                for a in range(3):
-                    t1 = (vget(b0 + a) - o[a]) * inv[a]
-                    t2 = (vget(b0 + 3 + a) - o[a]) * inv[a]
-                    tn = jnp.maximum(tn, jnp.minimum(t1, t2))
-                    tf = jnp.minimum(tf, jnp.maximum(t1, t2))
+                if columnar == "q":
+                    # vget is the decoded-box list in quantized mode
+                    lox, hix, loy, hiy, loz, hiz = vget[b0 // 6]
+                else:
+                    lox, hix = vget(b0), vget(b0 + 3)
+                    loy, hiy = vget(b0 + 1), vget(b0 + 4)
+                    loz, hiz = vget(b0 + 2), vget(b0 + 5)
+                t1 = (lox - o[0]) * inv[0]
+                t2 = (hix - o[0]) * inv[0]
+                tn = jnp.minimum(t1, t2)
+                tf = jnp.maximum(t1, t2)
+                t1 = (loy - o[1]) * inv[1]
+                t2 = (hiy - o[1]) * inv[1]
+                tn = jnp.maximum(tn, jnp.minimum(t1, t2))
+                tf = jnp.minimum(tf, jnp.maximum(t1, t2))
+                t1 = (loz - o[2]) * inv[2]
+                t2 = (hiz - o[2]) * inv[2]
+                tn = jnp.maximum(tn, jnp.minimum(t1, t2))
+                tf = jnp.minimum(tf, jnp.maximum(t1, t2))
                 return (tf >= jnp.maximum(tn, 0.0)) & (tn <= cap)
 
             if branching == 2:
@@ -993,6 +1037,72 @@ def cast_rays_wide(
     )  # branching rides on scene (static pytree meta)
 
 
+QCOL_F = 32  # quantized-columnar node fields (see _to_columnar_q)
+
+
+def _to_columnar_q(nodes_rows):
+    """Quantize 8-wide node rows into columnar CWBVH-style blocks.
+
+    Per node (32 sublanes): [anchor.xyz (3), scale.xyz (3), qlo_k (8),
+    qhi_k (8), enc_k (8), axis (1), pad (1)] — child AABBs as 8-bit
+    offsets from the node anchor (Ylitie'17 / cwbvh_traverse.comp.glsl:
+    237-253; tiny_bvh.h BVH8_CWBVH), xyz bytes packed into one
+    f32-encoded integer per child+bound (values < 2^24, exact in f32).
+
+    Conservative by construction: scale carries a 2^-20 relative margin
+    and q values are widened one quantum outward, so the f32 decode
+    always contains the true box — traversal visits a superset, MT
+    results identical.  Missing children (NaN boxes) quantize to NaN
+    anchors/boxes on the dummy node and inverted boxes elsewhere; a
+    falsely-hit missing child pushes the NaN dummy node, a correct no-op.
+
+    Runs on device inside the cast jit (pure jnp).
+    """
+    w = nodes_rows.reshape(-1, NODE8_STRIDE)
+    nb_nodes = w.shape[0]
+    boxes = w[:, :48].reshape(nb_nodes, 8, 6)
+    mins = boxes[:, :, 0:3]
+    maxs = boxes[:, :, 3:6]
+    anchor = jnp.nanmin(mins, axis=1)                      # (W,3)
+    top = jnp.nanmax(maxs, axis=1)
+    # scale margin: relative 2^-20 covers product rounding; the absolute
+    # |coord|*2^-12 term keeps one quantum >= ~16 ulp of the coordinate
+    # magnitude, so the +-1-quantum widen below dominates every f32
+    # rounding in the decode even for near-flat nodes far from origin
+    # (pure relative margin is NOT enough when extent << |anchor|)
+    mag = jnp.abs(anchor) + jnp.abs(top)
+    scale = ((top - anchor) + mag * 2.0 ** -12) * np.float32(
+        (1 + 2.0 ** -20) / 255
+    )
+    safe = jnp.where(scale > 0, scale, 1.0)
+    rel_lo = (mins - anchor[:, None, :]) / safe[:, None, :]
+    rel_hi = (maxs - anchor[:, None, :]) / safe[:, None, :]
+    qlo = jnp.clip(jnp.floor(rel_lo) - 1.0, 0.0, 255.0)
+    qhi = jnp.clip(jnp.ceil(rel_hi) + 1.0, 0.0, 255.0)
+    # missing children: inverted box (lo=255s, hi=0) — never hit when any
+    # axis has extent; fully-degenerate nodes fall back to the dummy pop
+    miss = jnp.isnan(mins[:, :, 0])
+    packed_lo = qlo[:, :, 0] + qlo[:, :, 1] * 256.0 + qlo[:, :, 2] * 65536.0
+    packed_hi = qhi[:, :, 0] + qhi[:, :, 1] * 256.0 + qhi[:, :, 2] * 65536.0
+    packed_lo = jnp.where(miss, float(0xFFFFFF), packed_lo)
+    packed_hi = jnp.where(miss, 0.0, packed_hi)
+    qblk = jnp.concatenate(
+        [
+            anchor, scale, packed_lo, packed_hi,
+            w[:, 48:56], w[:, 56:57],
+            jnp.zeros((nb_nodes, 1), jnp.float32),
+        ],
+        axis=1,
+    )  # (W, 32)
+    nb = max(-(-nb_nodes // 128), 1)
+    pad = nb * 128 - nb_nodes
+    if pad:
+        qblk = jnp.concatenate(
+            [qblk, jnp.zeros((pad, QCOL_F), jnp.float32)]
+        )
+    return qblk.reshape(nb, 128, QCOL_F).swapaxes(1, 2)
+
+
 def _to_columnar(rows2d, stride, nfields):
     """Re-layout lane-packed rows (NR,128; ``128//stride`` entries per
     row) into columnar blocks (NB, nfields, 128): entry i's fields run
@@ -1070,7 +1180,11 @@ def _cast_rays_wide_jit(
         ).reshape(num_steps * 8 * srows, 128)
         nodes_in = scene.nodes
         leaf_in = leaf_tris
-        if columnar:
+        if columnar == "q":
+            assert scene.branching == 8, "quantized layout needs wide8"
+            nodes_in = _to_columnar_q(scene.nodes)
+            leaf_in = _to_columnar(leaf_tris, LEAF_STRIDE, COL_LEAF_F)
+        elif columnar:
             nstride = (NODE8_STRIDE if scene.branching == 8
                        else NODE_STRIDE)
             nodes_in = _to_columnar(scene.nodes, nstride, nstride)

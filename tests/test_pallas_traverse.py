@@ -129,6 +129,30 @@ class TestPallasParity:
         assert frac < 0.5
 
 
+class TestColumnarLayouts:
+    """Columnar and quantized-columnar megakernel layouts must be
+    result-identical to the row layout (t/prim exact vs the oracle)."""
+
+    @pytest.mark.parametrize("mode", [True, "q"])
+    def test_parity_vs_brute(self, mode):
+        # near-flat terrain exercises the quantizer's conservativeness
+        # margin for small-extent/large-coordinate nodes
+        g = meshes.plane(40.0, y=0.0, subdiv=24)
+        g[:, :, 1] = (np.sin(g[:, :, 0] * 0.6)
+                      * np.cos(g[:, :, 2] * 0.5)) * 1.5
+        tris = np.concatenate(
+            [g, meshes.uv_sphere(2.0, 8, 16, center=(0, 4, 0))]
+        )
+        scene = pallas_scene(tris)
+        cam = CameraParams.look_at((0, 10, 22), (0, 1, 0), fov_degrees=60)
+        rays = generate_rays(cam, 48, 32)
+        ref, _ = cast_rays_brute(rays, scene.tris)
+        hits, _, _ = cast_rays_wide(rays, scene.wide, columnar=mode)
+        # rtol 1e-5: the columnar MT uses (1,128) operands, fusing FMAs
+        # differently from the oracle's broadcast MT (last-ulp noise)
+        assert_parity(hits, ref, rtol=1e-5)
+
+
 class TestStreamingModes:
     """HBM-streaming kernel modes, forced on small scenes so CPU interpret
     mode can cover them (naturally they only engage beyond ~15 MB of scene

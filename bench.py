@@ -116,6 +116,12 @@ def main():
     scene1m = build_scene_from_tri_array(g1m)
     jax.block_until_ready((scene1m.wide.nodes, scene1m.wide.leaf_tris))
     build1m_s = time.time() - t0
+    # warm rebuild: same shapes -> cached jit; this is the real build cost
+    # (the cold numbers are dominated by one-time remote XLA compiles)
+    t0 = time.time()
+    scene1m = build_scene_from_tri_array(g1m)
+    jax.block_until_ready((scene1m.wide.nodes, scene1m.wide.leaf_tris))
+    build1m_warm_s = time.time() - t0
     dt1m, h1m, _ = timed_cast(scene1m, rays, 2)
     sub1m = Rays(
         origin=rays.origin[:2048], direction=rays.direction[:2048],
@@ -144,6 +150,7 @@ def main():
                     "mrays_1m_tris": round(n / dt1m / 1e6, 3),
                     "parity_1m": parity_1m,
                     "build_1m_s": round(build1m_s, 2),
+                    "build_1m_warm_s": round(build1m_warm_s, 2),
                     "pops": int(pops),
                     "issued_vpu_gflop_per_frame": round(issued_gflop, 2),
                     "achieved_vpu_gflop_s": round(issued_gflop / dt, 1),

@@ -361,6 +361,42 @@ def build_wide8_scene(bvh: BVH, tris: Triangles, _np=None,
         lay = np.asarray(tris.layers)
     t = int(tris.v0.shape[0])
 
+    # ---- native fast path: one C++ pass emits the packed index arrays
+    # (table-identical to the numpy path below; tested) ------------------
+    from ..native import native_build_wide8_tables
+
+    tabs = native_build_wide8_tables(amin, amax, lf, cnt, t)
+    if tabs is not None:
+        (node_idx, node_const, leaf_idx, leaf_const, leaf_first,
+         leaf_cnt, nw, num_leaf) = tabs
+        ks = np.arange(LEAF_CAP, dtype=np.int32)[None, :]
+        slots = np.clip(leaf_first[:, None] + ks, 0, max(t - 1, 0))
+        valid = ks < leaf_cnt[:, None]
+        skeleton = WideScene(
+            nodes=jnp.zeros((1, 1), jnp.float32),
+            leaf_tris=jnp.zeros((1, 1), jnp.float32),
+            slot_prim_id=jnp.asarray(
+                np.where(valid, pid[slots], -1).astype(np.int32).reshape(-1)
+            ),
+            slot_layers=jnp.asarray(
+                np.where(valid, lay[slots], 0).astype(np.int32).reshape(-1)
+            ),
+            slot_normal=jnp.zeros((1, 3), jnp.float32),
+            slot_tri=jnp.asarray(
+                np.where(valid, slots, 0).astype(np.int32).reshape(-1)
+            ),
+            node_idx=jnp.asarray(node_idx),
+            leaf_idx=jnp.asarray(leaf_idx),
+            node_const=jnp.asarray(node_const),
+            leaf_const=jnp.asarray(leaf_const),
+            dummy_enc=2 * nw,
+            dummy_leaf=num_leaf,
+            stream_leaves=stream_leaves,
+            stream_nodes=stream_nodes,
+            branching=8,
+        )
+        return refresh_wide_scene(skeleton, bvh, tris)
+
     is_leaf = cnt > 0
     leaves = np.nonzero(is_leaf)[0]
     leaf_of = (np.cumsum(is_leaf) - 1).astype(np.int32)

@@ -57,6 +57,21 @@ def get_native_lib():
             return None
         try:
             lib = ctypes.CDLL(path)
+            lib.mrt_build_wide8_tables.restype = ctypes.c_int32
+            lib.mrt_build_wide8_tables.argtypes = [
+                ctypes.c_int32,
+                np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+                np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+                np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+                np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+                ctypes.c_int32,
+                np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+                np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+                np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+                np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+                np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+                np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            ]
             lib.mrt_build_bvh.restype = ctypes.c_int32
             lib.mrt_build_bvh.argtypes = [
                 ctypes.c_int32,
@@ -75,6 +90,58 @@ def get_native_lib():
         except Exception:
             _LIB = None
         return _LIB
+
+
+def _pad8_rows(entries: int) -> int:
+    rows = -(-entries // 2)               # 2 entries per 128-lane row
+    return max(-(-rows // 8) * 8, 8)      # sublane multiple
+
+
+def native_build_wide8_tables(amin, amax, lf, cnt, t: int):
+    """C++ 8-wide collapse + lane-packed gather-index emission.
+
+    Mirrors kernels/wide.py's numpy path exactly (same FIFO order, same
+    tie-breaks, same packed layout); at 1M tris the numpy staging writes
+    take ~10s vs well under a second here.  Returns (node_idx,
+    node_const, leaf_idx, leaf_const, leaf_first, leaf_count, nw,
+    num_leaf) or None if native is unavailable.
+    """
+    lib = get_native_lib()
+    if lib is None or not hasattr(lib, "mrt_build_wide8_tables"):
+        return None
+    m = int(amin.shape[0])
+    amin = np.ascontiguousarray(amin, np.float32)
+    amax = np.ascontiguousarray(amax, np.float32)
+    lf = np.ascontiguousarray(lf, np.int32)
+    cnt = np.ascontiguousarray(cnt, np.int32)
+    num_internal = int((cnt == 0).sum())
+    num_leaf = int((cnt > 0).sum())
+    nw_cap = max(num_internal, 1) + 1      # num_wide upper bound
+    nr_cap = _pad8_rows(nw_cap + 1)
+    lr_pad = _pad8_rows(num_leaf + 1)
+    node_idx = np.empty((nr_cap, 128), np.int32)
+    node_const = np.empty(9 * nw_cap + 16, np.float32)
+    leaf_idx = np.empty((lr_pad, 128), np.int32)
+    leaf_const = np.empty(num_leaf + 1, np.float32)
+    leaf_first = np.empty(num_leaf, np.int32)
+    leaf_count = np.empty(num_leaf, np.int32)
+    nw = lib.mrt_build_wide8_tables(
+        m, amin, amax, lf, cnt, int(t),
+        node_idx, node_const, leaf_idx, leaf_const, leaf_first, leaf_count,
+    )
+    if nw <= 0:
+        return None
+    num_wide = nw + 1
+    return (
+        node_idx[:_pad8_rows(num_wide)],
+        node_const[: 8 * num_wide + nw + 2],
+        leaf_idx,
+        leaf_const,
+        leaf_first,
+        leaf_count,
+        int(nw),
+        num_leaf,
+    )
 
 
 def native_build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray):

@@ -16,6 +16,7 @@
 // lowest (axis, bin), matching numpy's argmin-first semantics.
 
 #include <algorithm>
+#include <array>
 #include <cfloat>
 #include <cmath>
 #include <cstdint>
@@ -251,6 +252,239 @@ int32_t mrt_build_bvh(
 
   emit(ctx, 0, n, 0);
   return ctx.num_nodes;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// mrt_build_wide8_tables — 8-wide collapse + lane-packed gather-index
+// emission (the host side of kernels/wide.py::build_wide8_scene).
+//
+// The numpy version is the readable specification; at 1M triangles its
+// staging writes (~10s of numpy time for the (252K,64)-class index
+// buffers) dominate scene build, so this emits the PACKED index arrays
+// directly in one pass.  Must stay bit/ordering-identical to the numpy
+// path: FIFO collapse order, lowest-slot max-area tie-breaks, stable
+// centroid sort per node, first-occurrence axis argmax.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct WideKid {
+  int32_t id;      // binary node id (-1 = missing)
+  float key;       // centroid along the sort axis (+inf when missing)
+};
+
+}  // namespace
+
+extern "C" {
+
+// Inputs: m binary nodes (amin/amax (m,3) f32, lf/cnt (m,) i32), t tris.
+// Outputs (preallocated by the caller; see native/__init__.py for caps):
+//   node_idx   (nr_cap, 128) i32  lane-packed node gather indices
+//   node_const (9*nw_cap + 2,) f32  [enc | axes | 0 | nan]
+//   leaf_idx   (lr_pad, 128) i32  lane-packed leaf gather indices
+//   leaf_const (num_leaf + 1,) f32
+//   leaf_first / leaf_count (num_leaf,) i32
+// Returns nw (number of real wide nodes), or -1 on error.
+int32_t mrt_build_wide8_tables(
+    int32_t m, const float* amin, const float* amax,
+    const int32_t* lf, const int32_t* cnt, int32_t t,
+    int32_t* node_idx, float* node_const,
+    int32_t* leaf_idx, float* leaf_const,
+    int32_t* leaf_first, int32_t* leaf_count) {
+  if (m <= 0 || t <= 0) return -1;
+
+  // leaf numbering: DFS (array) order, matching np.nonzero(cnt > 0)
+  std::vector<int32_t> leaf_of(m, -1);
+  int32_t num_leaf = 0;
+  for (int32_t i = 0; i < m; ++i) {
+    if (cnt[i] > 0) leaf_of[i] = num_leaf++;
+  }
+
+  auto area_of = [&](int32_t i) -> float {
+    float dx = amax[3 * i] - amin[3 * i];
+    float dy = amax[3 * i + 1] - amin[3 * i + 1];
+    float dz = amax[3 * i + 2] - amin[3 * i + 2];
+    if (dx < 0.f) dx = 0.f;
+    if (dy < 0.f) dy = 0.f;
+    if (dz < 0.f) dz = 0.f;
+    return dx * dy + dy * dz + dz * dx;  // numpy: no factor 2
+  };
+  auto cent_of = [&](int32_t i, int a) -> float {
+    return (amin[3 * i + a] + amax[3 * i + a]) * 0.5f;
+  };
+
+  // ---- FIFO 8-wide collapse (identical order to the level-synchronous
+  // numpy version: per-level row-major == FIFO) ------------------------
+  std::vector<std::array<int32_t, 8>> kids_of;  // per wide node, sorted
+  std::vector<int32_t> wax;                     // sort axis per wide node
+  std::vector<int32_t> queue;                   // binary ids to widen
+  kids_of.reserve(m / 4 + 2);
+  wax.reserve(m / 4 + 2);
+
+  if (cnt[0] > 0) {
+    kids_of.push_back({0, -1, -1, -1, -1, -1, -1, -1});
+    wax.push_back(0);
+  } else {
+    queue.push_back(0);
+    for (size_t qi = 0; qi < queue.size(); ++qi) {
+      const int32_t f = queue[qi];
+      int32_t kids[8];
+      int nk = 2;
+      kids[0] = f + 1;
+      kids[1] = lf[f];
+      for (int round = 0; round < 6 && nk < 8; ++round) {
+        int best = -1;
+        float best_a = -FLT_MAX;
+        for (int k = 0; k < nk; ++k) {
+          const int32_t id = kids[k];
+          if (id < 0 || cnt[id] > 0) continue;  // missing or leaf
+          const float a = area_of(id);
+          if (a > best_a) {  // strict >: lowest slot wins ties (argmax)
+            best_a = a;
+            best = k;
+          }
+        }
+        if (best < 0) break;
+        const int32_t kd = kids[best];
+        kids[best] = kd + 1;
+        kids[nk++] = lf[kd];
+      }
+      // axis of max centroid spread (first-occurrence argmax)
+      float cmin[3] = {FLT_MAX, FLT_MAX, FLT_MAX};
+      float cmax2[3] = {-FLT_MAX, -FLT_MAX, -FLT_MAX};
+      for (int k = 0; k < nk; ++k) {
+        for (int a = 0; a < 3; ++a) {
+          const float c = cent_of(kids[k], a);
+          cmin[a] = std::min(cmin[a], c);
+          cmax2[a] = std::max(cmax2[a], c);
+        }
+      }
+      int ax = 0;
+      float best_spread = cmax2[0] - cmin[0];
+      for (int a = 1; a < 3; ++a) {
+        const float s = cmax2[a] - cmin[a];
+        if (s > best_spread) {
+          best_spread = s;
+          ax = a;
+        }
+      }
+      // stable sort by centroid along ax; missing (id<0) keyed +inf
+      WideKid wk[8];
+      for (int k = 0; k < 8; ++k) {
+        const int32_t id = k < nk ? kids[k] : -1;
+        wk[k].id = id;
+        wk[k].key = id >= 0 ? cent_of(id, ax) : FLT_MAX;
+      }
+      std::stable_sort(wk, wk + 8, [](const WideKid& x, const WideKid& y) {
+        return x.key < y.key;
+      });
+      std::array<int32_t, 8> row;
+      for (int k = 0; k < 8; ++k) {
+        row[k] = wk[k].id;
+        // FIFO push of internal kids in sorted-slot order = numpy's
+        // row-major wide-id assignment
+        if (wk[k].id >= 0 && cnt[wk[k].id] == 0) queue.push_back(wk[k].id);
+      }
+      kids_of.push_back(row);
+      wax.push_back(ax);
+    }
+  }
+
+  const int32_t nw = static_cast<int32_t>(kids_of.size());
+  const int32_t num_wide = nw + 1;  // + NaN dummy
+  const int64_t cb = 6 * static_cast<int64_t>(m);
+  const int32_t zero_pos = static_cast<int32_t>(cb + 9 * num_wide);
+  const int32_t nan_pos = zero_pos + 1;
+
+  // wide id per binary internal node (assignment order above)
+  // (kids_of[i] rows reference binary ids; map internal ones)
+  std::vector<int32_t> wide_of(m, -1);
+  {
+    int32_t next = 1;
+    wide_of[0] = 0;
+    for (int32_t i = 0; i < nw; ++i) {
+      for (int k = 0; k < 8; ++k) {
+        const int32_t id = kids_of[i][k];
+        if (id >= 0 && cnt[id] == 0) wide_of[id] = next++;
+      }
+    }
+  }
+
+  // ---- packed node indices + const tail ------------------------------
+  const int32_t nr = (num_wide + 1) / 2;
+  const int32_t nr_pad = std::max((nr + 7) / 8 * 8, 8);
+  // fill everything with zero_pos first (pad rows + pad lanes)
+  std::fill(node_idx, node_idx + static_cast<int64_t>(nr_pad) * 128,
+            zero_pos);
+  float* enc = node_const;                 // (num_wide, 8)
+  float* axes_out = node_const + 8 * static_cast<int64_t>(num_wide);
+  for (int64_t i = 0; i < static_cast<int64_t>(num_wide) * 8; ++i)
+    enc[i] = static_cast<float>(2 * nw);   // dummy enc default
+  for (int32_t i = 0; i < nw; ++i) {
+    int32_t* row = node_idx + static_cast<int64_t>(i) * 64;
+    for (int k = 0; k < 8; ++k) {
+      const int32_t id = kids_of[i][k];
+      if (id >= 0) {
+        for (int a = 0; a < 3; ++a) {
+          row[6 * k + a] = 3 * id + a;
+          row[6 * k + 3 + a] = static_cast<int32_t>(3 * m + 3 * id + a);
+        }
+        const int32_t ptr = cnt[id] > 0 ? leaf_of[id] : wide_of[id];
+        enc[8 * static_cast<int64_t>(i) + k] =
+            static_cast<float>(2 * ptr + (cnt[id] > 0 ? 1 : 0));
+      } else {
+        for (int f = 0; f < 6; ++f) row[6 * k + f] = nan_pos;
+      }
+      row[48 + k] = static_cast<int32_t>(cb + 8 * i + k);
+    }
+    row[56] = static_cast<int32_t>(cb + 8 * num_wide + i);
+    axes_out[i] = static_cast<float>(wax[i]);
+  }
+  {  // dummy node: NaN boxes
+    int32_t* row = node_idx + static_cast<int64_t>(nw) * 64;
+    for (int f = 0; f < 48; ++f) row[f] = nan_pos;
+  }
+  node_const[8 * static_cast<int64_t>(num_wide) + nw] = 0.0f;
+  node_const[8 * static_cast<int64_t>(num_wide) + nw + 1] = NAN;
+
+  // ---- packed leaf indices + const tail ------------------------------
+  const int64_t cb2 = 9 * static_cast<int64_t>(t);
+  const int32_t zero2 = static_cast<int32_t>(cb2 + num_leaf);
+  const int32_t lrows = num_leaf + 1;  // + all-zero dummy leaf
+  const int32_t lr = (lrows + 1) / 2;
+  const int32_t lr_pad = std::max((lr + 7) / 8 * 8, 8);
+  std::fill(leaf_idx, leaf_idx + static_cast<int64_t>(lr_pad) * 128,
+            zero2);
+  int32_t j = 0;
+  for (int32_t i = 0; i < m; ++i) {
+    if (cnt[i] <= 0) continue;
+    int32_t* row = leaf_idx + static_cast<int64_t>(j) * 64;
+    const int32_t first = lf[i];
+    const int32_t c = cnt[i];
+    for (int k = 0; k < 4; ++k) {
+      if (k < c) {
+        int32_t slot = first + k;
+        if (slot > t - 1) slot = t - 1;
+        if (slot < 0) slot = 0;
+        const int b = 9 * k;
+        for (int a = 0; a < 3; ++a) {
+          row[b + a] = 3 * slot + a;
+          row[b + 3 + a] = static_cast<int32_t>(3 * t + 3 * slot + a);
+          row[b + 6 + a] = static_cast<int32_t>(6 * t + 3 * slot + a);
+        }
+      }
+      // invalid slots keep zero2 (gathers 0.0 -> zero-edge dummy tri)
+    }
+    row[36] = static_cast<int32_t>(cb2 + j);
+    leaf_const[j] = static_cast<float>(c);
+    leaf_first[j] = first;
+    leaf_count[j] = c;
+    ++j;
+  }
+  leaf_const[num_leaf] = 0.0f;
+  return nw;
 }
 
 }  // extern "C"

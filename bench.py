@@ -93,7 +93,7 @@ def main():
         float(jnp.sum(hits.t))
         return (time.time() - t0) / iters, hits, stats
 
-    dt, hits, stats = timed_cast(scene, rays, 5)
+    dt, hits, stats = timed_cast(scene, rays, 10)
     mrays = n / dt / 1e6
 
     # ---- roofline / utilization model ----------------------------------

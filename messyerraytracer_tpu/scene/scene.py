@@ -76,6 +76,15 @@ class RayScene:
     def _frontier_for_backend(self) -> FrontierScene:
         return self.frontier_q if self.backend == "frontier_q" else self.frontier
 
+    def _srows(self) -> int:
+        """Ray-tile height for the packet kernel.  Sub-pixel-density
+        scenes pay the TILE's traversal footprint per ray (PERF.md 1M
+        analysis), so dense scenes route to half-height tiles —
+        measured +6% at 1M tris, neutral below."""
+        from ..kernels.traverse_pallas import SROWS
+
+        return 8 if self.num_tris > 300_000 else SROWS
+
     def cast_rays(self, rays: Rays, query_mask=ALL_LAYERS) -> tuple[Hits, RayStats]:
         """Batched closest-hit cast (ray_scene.h:96-131 semantics).
 
@@ -92,7 +101,9 @@ class RayScene:
             )
             return hits, stats
         if self.backend == "pallas" and self.wide is not None:
-            hits, stats, _ = cast_rays_wide(rays, self.wide, int(query_mask))
+            hits, stats, _ = cast_rays_wide(
+                rays, self.wide, int(query_mask), srows=self._srows()
+            )
             return hits, stats
         hits, stats, _ = cast_rays_bvh(rays, self.tris, self.bvh, query_mask)
         return hits, stats
@@ -109,7 +120,8 @@ class RayScene:
             return occluded
         if self.backend == "pallas" and self.wide is not None:
             _, _, occluded = cast_rays_wide(
-                rays, self.wide, int(query_mask), any_hit=True
+                rays, self.wide, int(query_mask), any_hit=True,
+                srows=self._srows(),
             )
             return occluded
         _, _, occluded = cast_rays_bvh(

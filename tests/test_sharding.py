@@ -84,3 +84,48 @@ class TestShardedRenderStep:
         assert arr.shape == (128 * 64, 3)
         assert np.isfinite(arr).all()
         assert arr.mean() > 0.0
+
+
+class TestSceneSharded:
+    """Scene-parallel axis: triangles partitioned over the mesh, rays
+    replicated, closest hit combined over the collective axis."""
+
+    def test_matches_single_scene(self):
+        from messyerraytracer_tpu.parallel.sharding import (
+            build_sharded_scene,
+            cast_rays_scene_sharded,
+        )
+
+        tris = np.concatenate([
+            meshes.uv_sphere(1.0, 8, 16, center=(-1.5, 0, 0)),
+            meshes.uv_sphere(0.7, 8, 16, center=(1.5, 0.3, 0)),
+            meshes.plane(8.0, y=-1.2, subdiv=6),
+        ])
+        single = build_scene_from_tri_array(tris)
+        mesh = make_mesh(8)
+        stacked, meta, id_maps = build_sharded_scene(tris, 8)
+        rays = random_rays(1024, seed=7)
+        hits_s, stats_s = cast_rays_scene_sharded(
+            rays, stacked, meta, id_maps, mesh
+        )
+        hits_1, _ = single.cast_rays(rays)
+        np.testing.assert_array_equal(
+            np.asarray(hits_s.prim_id), np.asarray(hits_1.prim_id)
+        )
+        np.testing.assert_allclose(
+            np.asarray(hits_s.t), np.asarray(hits_1.t), rtol=1e-6
+        )
+        assert int(stats_s.hits) == int(np.asarray(hits_1.hit).sum())
+
+    def test_shard_memory_is_partitioned(self):
+        from messyerraytracer_tpu.parallel.sharding import (
+            build_sharded_scene,
+        )
+
+        tris = meshes.uv_sphere(1.0, 16, 32)
+        stacked, meta, id_maps = build_sharded_scene(tris, 8)
+        # each shard's leaf table holds ~1/8 of the triangles
+        single = build_scene_from_tri_array(tris)
+        per_shard_rows = stacked["leaf_tris"].shape[1]
+        single_rows = single.wide.leaf_tris.shape[0]
+        assert per_shard_rows < single_rows / 2

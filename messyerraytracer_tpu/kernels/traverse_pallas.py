@@ -633,8 +633,9 @@ def _mega_kernel(
         In quantized-columnar mode ("q") vector_get is instead a list of
         8 decoded child boxes (lox,hix,loy,hiy,loz,hiz) as (1,128)
         operands, and scalar_get keeps the ROW-layout lane numbering
-        (enc at 48+k, axis at 56) so call sites stay uniform."""
-        if columnar:
+        (enc at 48+k, axis at 56) so call sites stay uniform.  Mode
+        "leaf" = columnar leaves with ROW-layout nodes (hybrid)."""
+        if columnar and columnar != "leaf":
             base = si * _bc_stride + qdrain * COL_LEAF_F
             block = nodes_ref[nidx >> 7]
             rot = pltpu.roll(block, -(nidx & 127), axis=1)
@@ -1212,6 +1213,8 @@ def _cast_rays_wide_jit(
         if columnar == "q":
             assert scene.branching == 8, "quantized layout needs wide8"
             nodes_in = _to_columnar_q(scene.nodes)
+            leaf_in = _to_columnar(leaf_tris, LEAF_STRIDE, COL_LEAF_F)
+        elif columnar == "leaf":
             leaf_in = _to_columnar(leaf_tris, LEAF_STRIDE, COL_LEAF_F)
         elif columnar:
             nstride = (NODE8_STRIDE if scene.branching == 8

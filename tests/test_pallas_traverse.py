@@ -133,7 +133,7 @@ class TestColumnarLayouts:
     """Columnar and quantized-columnar megakernel layouts must be
     result-identical to the row layout (t/prim exact vs the oracle)."""
 
-    @pytest.mark.parametrize("mode", [True, "q"])
+    @pytest.mark.parametrize("mode", [True, "q", "leaf"])
     def test_parity_vs_brute(self, mode):
         # near-flat terrain exercises the quantizer's conservativeness
         # margin for small-extent/large-coordinate nodes

@@ -74,6 +74,7 @@ COL_LEAF_F = 40                # columnar leaf fields (36 tri + count + pad)
 MEGA_COLUMNAR = True           # columnar layout (measured +5% v5e)
 MEGA_COND_DRAIN = True         # skip dummy leaf drains (measured +2%)
 MEGA_UNROLL = 2                # pops per while body (measured +2%)
+MEGA_OR_ANY = False            # tree-OR child-any reduction (knob)
 DIM_SEMANTICS = "arbitrary"    # grid dimension semantics (perf knob)
 VMEM_LIMIT = 100 * 1024 * 1024  # Mosaic VMEM budget (perf/capacity knob)
 N_SLOTS = 1                    # interleaved tile traversals (1 measured best)
@@ -555,6 +556,7 @@ def _mega_kernel(
     *, any_hit: bool, dummy_enc: int, dummy_leaf: int, srows: int,
     branching: int, num_tiles: int, qdrain: int, interleave: int = 1,
     columnar: bool = False, cond_drain: bool = False, unroll: int = 1,
+    or_any: bool = False,
 ):
     """Single-invocation traversal over ALL ray tiles (the "megakernel").
 
@@ -851,6 +853,40 @@ def _mega_kernel(
                     (jnp.where(l_near, lenc, renc),
                      jnp.where(l_near, any_l, any_r)),
                 )
+            elif or_any:
+                # bit-pack the 8 child masks (1 bit each) and tree-OR
+                # down to ONE (1,1) scalar: replaces 8 max-reductions +
+                # 2 weighted sums + 2 sum-reductions + 2 scalar moves
+                # with ~11 cheap OR ops + one extract
+                acc = None
+                for k in range(WIDE8_CAP):
+                    hk = slab_hit(6 * k).astype(jnp.int32) << k
+                    acc = hk if acc is None else acc | hk
+                r = acc
+                rr = srows
+                while rr > 1:
+                    r = r[: rr // 2] | r[rr // 2: rr]
+                    rr //= 2
+                c = 128
+                while c > 1:
+                    r = r[:, : c // 2] | r[:, c // 2: c]
+                    c //= 2
+                m = r[0, 0]
+                anyk = [
+                    (jax.lax.shift_right_logical(m, k) & 1) > 0
+                    for k in range(WIDE8_CAP)
+                ]
+                encs = [sget(48 + k).astype(jnp.int32)
+                        for k in range(WIDE8_CAP)]
+                axis = sget(56).astype(jnp.int32)
+                fwd = jnp.where(
+                    axis == 0, sgn[0], jnp.where(axis == 1, sgn[1], sgn[2])
+                )
+                order = tuple(
+                    (jnp.where(fwd, encs[j], encs[WIDE8_CAP - 1 - j]),
+                     jnp.where(fwd, anyk[j], anyk[WIDE8_CAP - 1 - j]))
+                    for j in range(WIDE8_CAP - 1, -1, -1)
+                )
             else:
                 lo = hi = None
                 for k in range(WIDE8_CAP):
@@ -970,9 +1006,11 @@ QDRAIN = 4  # queued leaves intersected per traversal iteration
 def _call_mega(rays_packed, nodes, leaf_tris, *, any_hit, interpret,
                num_tiles, dummy_enc, dummy_leaf, srows, branching,
                qdrain=None, interleave=1, columnar=False,
-               cond_drain=False, unroll=None):
+               cond_drain=False, unroll=None, or_any=None):
     if unroll is None:
         unroll = MEGA_UNROLL
+    if or_any is None:
+        or_any = MEGA_OR_ANY
     if qdrain is None:
         qdrain = QDRAIN
     S = interleave
@@ -984,6 +1022,7 @@ def _call_mega(rays_packed, nodes, leaf_tris, *, any_hit, interpret,
         dummy_leaf=dummy_leaf, srows=srows, branching=branching,
         num_tiles=num_tiles, qdrain=qdrain, interleave=S,
         columnar=columnar, cond_drain=cond_drain, unroll=unroll,
+        or_any=or_any,
     )
     hbm = pl.BlockSpec(memory_space=pl.ANY)
     cp = pltpu.CompilerParams(

@@ -16,6 +16,9 @@ batch-cast surface with the same hit semantics
 __version__ = "0.1.0"
 
 
+_malloc_tuned = False
+
+
 def _tune_malloc():
     """Keep 100MB-class build buffers on the heap instead of mmap.
 
@@ -24,7 +27,16 @@ def _tune_malloc():
     large numpy staging buffers — measured ~25s of a 39s cold 1M-triangle
     build.  Raising M_MMAP_THRESHOLD (mallopt param -3) makes the heap
     reuse those pages: cold build 39s -> 14s, warm 14s -> 9s (CPU host).
+
+    Called lazily from the scene-build entry points (NOT at import): it
+    mutates the process-global allocator, which only pays off for
+    builds, and applications that merely import the package should not
+    inherit a higher steady-state RSS.
     """
+    global _malloc_tuned
+    if _malloc_tuned:
+        return
+    _malloc_tuned = True
     try:
         import ctypes
 
@@ -33,8 +45,6 @@ def _tune_malloc():
     except Exception:
         pass  # non-glibc platforms: harmless to skip
 
-
-_tune_malloc()
 
 from .core.types import (  # noqa: F401
     ALL_LAYERS,

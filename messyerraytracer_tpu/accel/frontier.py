@@ -99,6 +99,47 @@ class FrontierScene:
     quantized: bool = False   # static: which box tables the cast uses
 
 
+def collapse_tables(amin, amax, lf, cnt):
+    """Shared 8-wide collapse -> frontier tables: (child boxes (W,8,3)x2
+    NaN-padded, enc (W,8) int32, leaf binary-node index list, depth).
+
+    Single source of truth for the frontier and two-level-TLAS builders
+    (enc packing, missing-child NaN boxes, BFS depth) — both traversals
+    must agree on the wide topology encoding.
+    """
+    from ..kernels.wide import _collapse8
+
+    m = amin.shape[0]
+    is_leaf = cnt > 0
+    leaves = np.nonzero(is_leaf)[0]
+    leaf_of = (np.cumsum(is_leaf) - 1).astype(np.int32)
+    children, _ = _collapse8(amin, amax, lf, cnt)
+    children = np.asarray(children, np.int32)
+
+    wide_of = np.full(m, -1, np.int32)
+    order = children[children >= 0]
+    internal_kids = order[~is_leaf[order]]
+    wide_of[0] = 0
+    wide_of[internal_kids] = np.arange(1, len(internal_kids) + 1,
+                                       dtype=np.int32)
+
+    present = children >= 0
+    ck = np.where(present, children, 0)
+    ptr = np.where(is_leaf[ck], leaf_of[ck], wide_of[ck])
+    enc = np.where(present, 2 * ptr + is_leaf[ck], 0).astype(np.int32)
+    cmin = np.where(present[..., None], amin[ck], np.nan).astype(np.float32)
+    cmax = np.where(present[..., None], amax[ck], np.nan).astype(np.float32)
+
+    depth = 0
+    frontier = np.array([0], np.int32)
+    while frontier.size:
+        depth += 1
+        kids = children[frontier].reshape(-1)
+        kids = kids[kids >= 0]
+        frontier = wide_of[kids[~is_leaf[kids]]]
+    return cmin, cmax, enc, leaves, depth
+
+
 def _quantize_wide_boxes(cmin, cmax, present):
     """Quantize (W,8,3) child AABBs to 8-bit offsets from a per-node
     anchor at a power-of-two scale (the CWBVH/Ylitie exponent-byte form,
@@ -164,8 +205,6 @@ def build_frontier_scene(bvh: BVH, tris: Triangles,
     Reuses the 8-wide greedy collapse of kernels/wide.py so both backends
     traverse the same wide topology.
     """
-    from ..kernels.wide import _collapse8
-
     host = getattr(bvh, "host", None)
     if host is not None:
         amin, amax = host["aabb_min"], host["aabb_max"]
@@ -175,37 +214,9 @@ def build_frontier_scene(bvh: BVH, tris: Triangles,
         amax = np.asarray(bvh.aabb_max)
         lf = np.asarray(bvh.left_first)
         cnt = np.asarray(bvh.count)
-    m = amin.shape[0]
 
-    is_leaf = cnt > 0
-    leaves = np.nonzero(is_leaf)[0]
-    leaf_of = (np.cumsum(is_leaf) - 1).astype(np.int32)
-    children, _ = _collapse8(amin, amax, lf, cnt)
-    children = children.astype(np.int32)
-    nw = children.shape[0]
-
-    wide_of = np.full(m, -1, np.int32)
-    order = children[children >= 0]
-    internal_kids = order[~is_leaf[order]]
-    wide_of[0] = 0
-    wide_of[internal_kids] = np.arange(1, len(internal_kids) + 1,
-                                       dtype=np.int32)
-
-    present = children >= 0
-    ck = np.where(present, children, 0)
-    ptr = np.where(is_leaf[ck], leaf_of[ck], wide_of[ck])
-    enc = np.where(present, 2 * ptr + is_leaf[ck], 0).astype(np.int32)
-    cmin = np.where(present[..., None], amin[ck], np.nan).astype(np.float32)
-    cmax = np.where(present[..., None], amax[ck], np.nan).astype(np.float32)
-
-    # tree depth: BFS over wide nodes
-    depth = 0
-    frontier = np.array([0], np.int32)
-    while frontier.size:
-        depth += 1
-        kids = children[frontier].reshape(-1)
-        kids = kids[kids >= 0]
-        frontier = wide_of[kids[~is_leaf[kids]]]
+    cmin, cmax, enc, leaves, depth = collapse_tables(amin, amax, lf, cnt)
+    present = ~np.isnan(cmin[..., 0])
 
     tri = tuple(
         arr[:, a] for arr in (tris.v0, tris.edge1, tris.edge2)

@@ -168,12 +168,14 @@ class SceneTLAS:
             layers=layers, backend=self.backend,
         )
         self.meshes.append(MeshBLAS(scene, tri_array))
+        self._two_level = None  # frontier tables embed the mesh forest
         return len(self.meshes) - 1
 
     def add_instance(self, blas_id: int, transform, layers: int = ALL_LAYERS) -> int:
         """Add an instance of a registered BLAS (scene_tlas.h:108-122)."""
         assert 0 <= blas_id < len(self.meshes)
         self.instances.append(BLASInstance.create(blas_id, transform, layers))
+        self._two_level = None  # frontier tables embed the instance set
         return len(self.instances) - 1
 
     def build_tlas(self) -> None:
@@ -185,6 +187,7 @@ class SceneTLAS:
         device so ``refit_tlas`` is a pure device computation.
         """
         assert self.instances, "build_tlas: no instances"
+        self._two_level = None  # rebuilt lazily against the new scene
         obj, inst_id, layers = [], [], []
         for i, inst in enumerate(self.instances):
             tris = self.meshes[inst.blas_id].tri_array

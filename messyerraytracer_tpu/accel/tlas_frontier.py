@@ -82,40 +82,9 @@ class FrontierTLAS:
     blas_depth: int = 1
 
 
-def _collapse_tables(amin, amax, lf, cnt):
-    """Shared wide-collapse -> (boxes (W,8,3)x2 NaN-padded, enc (W,8),
-    leaves index list, depth)."""
-    from ..kernels.wide import _collapse8
-
-    is_leaf = cnt > 0
-    leaves = np.nonzero(is_leaf)[0]
-    leaf_of = (np.cumsum(is_leaf) - 1).astype(np.int32)
-    children, _ = _collapse8(amin, amax, lf, cnt)
-    children = children.astype(np.int32)
-    nw = children.shape[0]
-    m = amin.shape[0]
-
-    wide_of = np.full(m, -1, np.int32)
-    order = children[children >= 0]
-    internal_kids = order[~is_leaf[order]]
-    wide_of[0] = 0
-    wide_of[internal_kids] = np.arange(1, len(internal_kids) + 1,
-                                       dtype=np.int32)
-    present = children >= 0
-    ck = np.where(present, children, 0)
-    ptr = np.where(is_leaf[ck], leaf_of[ck], wide_of[ck])
-    enc = np.where(present, 2 * ptr + is_leaf[ck], 0).astype(np.int32)
-    cmin = np.where(present[..., None], amin[ck], np.nan).astype(np.float32)
-    cmax = np.where(present[..., None], amax[ck], np.nan).astype(np.float32)
-
-    depth = 0
-    frontier = np.array([0], np.int32)
-    while frontier.size:
-        depth += 1
-        kids = children[frontier].reshape(-1)
-        kids = kids[kids >= 0]
-        frontier = wide_of[kids[~is_leaf[kids]]]
-    return cmin, cmax, enc, leaves, depth
+# the wide-collapse -> table encoding lives in accel/frontier.py
+# (collapse_tables): one source of truth for both traversals
+from .frontier import collapse_tables as _collapse_tables  # noqa: E402
 
 
 def build_frontier_tlas(tlas) -> FrontierTLAS:
@@ -349,7 +318,6 @@ def _cast_tlas_jit(rays: Rays, ft: FrontierTLAS, *, query_mask: int,
             pvalid = jnp.ones((pair_cap,), bool)
 
     # ============== ray -> object space per (ray, instance) pair =======
-    pvalid_b = jnp.arange(inst_cap, dtype=jnp.int32) < icount
     iv = [ft.inst_inv[k][ii] for k in range(12)]
     box_, boy_, boz_ = ox[ir], oy[ir], oz[ir]
     bdx_, bdy_, bdz_ = dx[ir], dy[ir], dz[ir]
@@ -532,16 +500,25 @@ def cast_rays_tlas(rays: Rays, ft: FrontierTLAS,
     """Two-level cast: returns (hits, stats, occluded, instance_id).
 
     Overflow retries with doubled caps — never silently truncates.
+    Caps scale with BOTH the ray count and the instance count: a 1-ray
+    probe through a many-instance scene legitimately produces up to
+    rays x instances (ray, instance) pairs, so ray-count-only sizing
+    would overflow deterministically regardless of retries.
     """
     from .frontier import _warn_large_on_tpu
 
     n = int(rays.count)
+    n_inst = int(ft.inst_root.shape[0])
     _warn_large_on_tpu(n)
+    # hard bound for the instance-pair list; pair/leaf lists have no small
+    # closed-form bound, so they keep doubling with enough attempts
+    inst_hard = n * max(n_inst, 1)
     fi, fp, fl = inst_cap_factor, pair_cap_factor, leaf_cap_factor
-    for _attempt in range(4):
+    for _attempt in range(12):
         hits, stats, found, inst, overflow = _cast_tlas_jit(
             rays, ft, query_mask=int(query_mask), any_hit=bool(any_hit),
-            inst_cap=fi * n, pair_cap=fp * n, leaf_cap=fl * n,
+            inst_cap=min(fi * n, inst_hard), pair_cap=fp * n,
+            leaf_cap=fl * n,
         )
         if not bool(overflow):
             return hits, stats, found, inst

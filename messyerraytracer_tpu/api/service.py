@@ -76,7 +76,8 @@ class RayTracerService:
     times / with transforms), ``build()``, then ``cast_ray`` / ``submit``.
     """
 
-    BACKENDS = ("pallas", "jnp", "brute", "auto")  # CPU/GPU/AUTO analogue
+    BACKENDS = ("pallas", "frontier", "frontier_q", "jnp", "brute",
+                "auto")  # CPU/GPU/AUTO analogue + frontier backends
 
     def __init__(self, backend: str = "auto"):
         assert backend in self.BACKENDS

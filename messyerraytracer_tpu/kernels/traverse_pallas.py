@@ -1247,6 +1247,11 @@ def _cast_rays_wide_jit(
         packed = jnp.stack(
             [f.reshape(num_steps, srows, 128) for f in rfields], axis=1
         ).reshape(num_steps * 8 * srows, 128)
+        # The columnar re-layout below runs per cast inside this jit.
+        # Deliberate: at 99K tris it is ~7 MB of device data movement
+        # (~20 us of a 27 ms frame) and caching it on WideScene would
+        # need refit invalidation + an extra resident copy; revisit only
+        # if multi-M-tri columnar casts become latency-critical.
         nodes_in = scene.nodes
         leaf_in = leaf_tris
         if columnar == "q":

@@ -57,21 +57,30 @@ def get_native_lib():
             return None
         try:
             lib = ctypes.CDLL(path)
-            lib.mrt_build_wide8_tables.restype = ctypes.c_int32
-            lib.mrt_build_wide8_tables.argtypes = [
-                ctypes.c_int32,
-                np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
-                np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
-                np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
-                np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
-                ctypes.c_int32,
-                np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
-                np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
-                np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
-                np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
-                np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
-                np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
-            ]
+            # per-symbol binding: an older .so without the newer entry
+            # points must not disable the whole native library
+            try:
+                lib.mrt_build_wide8_tables.restype = ctypes.c_int32
+                lib.mrt_build_wide8_tables.argtypes = [
+                    ctypes.c_int32,
+                    np.ctypeslib.ndpointer(np.float32,
+                                           flags="C_CONTIGUOUS"),
+                    np.ctypeslib.ndpointer(np.float32,
+                                           flags="C_CONTIGUOUS"),
+                    np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+                    np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+                    ctypes.c_int32,
+                    np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+                    np.ctypeslib.ndpointer(np.float32,
+                                           flags="C_CONTIGUOUS"),
+                    np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+                    np.ctypeslib.ndpointer(np.float32,
+                                           flags="C_CONTIGUOUS"),
+                    np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+                    np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+                ]
+            except AttributeError:
+                pass  # native_build_wide8_tables hasattr-guards this
             lib.mrt_build_bvh.restype = ctypes.c_int32
             lib.mrt_build_bvh.argtypes = [
                 ctypes.c_int32,

@@ -143,6 +143,12 @@ def build_sharded_scene(tri_array: np.ndarray, n_shards: int):
 
     tri_array = np.asarray(tri_array, np.float32)
     t = tri_array.shape[0]
+    if t < n_shards:
+        raise ValueError(
+            f"build_sharded_scene: {t} triangles cannot fill {n_shards} "
+            "shards (every shard needs >= 1 triangle) — use the "
+            "replicated-scene data-parallel path for tiny scenes"
+        )
     cent = tri_array.mean(axis=1)
     lo = cent.min(axis=0)
     ext = np.maximum(cent.max(axis=0) - lo, 1e-12)

@@ -166,6 +166,9 @@ def build_scene(v0, v1, v2, layers=None, prim_id=None, use_bvh=True,
     The BVH build runs on host; the returned SoA arrays are device-resident.
     Mirrors ``RayScene::build`` (ray_scene.h:62-86).
     """
+    from .. import _tune_malloc
+
+    _tune_malloc()  # lazy, once: large-buffer heap reuse for this build
     v0 = np.asarray(v0, np.float32)
     v1 = np.asarray(v1, np.float32)
     v2 = np.asarray(v2, np.float32)

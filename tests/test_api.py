@@ -85,6 +85,14 @@ class TestService:
         service.set_backend("auto")
         assert service.get_backend() == "pallas"
 
+    def test_frontier_backends_reachable(self, service):
+        # the documented 5-backend switch must accept the frontier modes
+        for b in ("frontier", "frontier_q"):
+            service.set_backend(b)
+            r = service.cast_ray((0.11, 0.07, 4), (0, 0, -1))
+            assert r["hit"]
+        service.set_backend("auto")
+
     def test_refit_after_transform(self):
         svc = RayTracerService()
         iid = svc.register_mesh(meshes.uv_sphere(1.0, 8, 16))

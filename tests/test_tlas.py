@@ -206,6 +206,22 @@ class TestTwoLevelFast:
         h2, _, _, inst2 = tlas.cast_rays_two_level_fast(rays2)
         assert bool(h2.hit[0]) and int(inst2[0]) == 1
 
+    def test_added_instance_invalidates_cache(self):
+        # add_instance/build_tlas after a fast cast must rebuild the
+        # frontier tables — a stale cache silently misses new instances
+        tlas = SceneTLAS(backend="jnp")
+        sphere = meshes.uv_sphere(radius=1.0, rings=8, segments=16)
+        sid = tlas.add_mesh(sphere)
+        tlas.add_instance(sid, translate((0, 0, 0)))
+        tlas.build_tlas()
+        rays = make_rays((2.5, 0.07, 5), (0, 0, -1))
+        h0, _, _, inst0 = tlas.cast_rays_two_level_fast(rays)
+        assert not bool(h0.hit[0])
+        tlas.add_instance(sid, translate((2.5, 0, 0)))
+        tlas.build_tlas()
+        h1, _, _, inst1 = tlas.cast_rays_two_level_fast(rays)
+        assert bool(h1.hit[0]) and int(inst1[0]) == 1
+
     def test_layer_mask(self):
         tlas = SceneTLAS(backend="jnp")
         sphere = meshes.uv_sphere(radius=1.0, rings=8, segments=16)

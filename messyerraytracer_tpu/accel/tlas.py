@@ -245,7 +245,8 @@ class SceneTLAS:
             self._obj_slots, self._slot_inst, self._transforms_dev,
         )
         self.flat = dataclasses.replace(
-            self.flat, tris=tris, bvh=bvh, wide=wide
+            self.flat, tris=tris, bvh=bvh, wide=wide,
+            _frontier=None, _frontier_q=None,  # stale-geometry caches
         )
 
     # ---- casts -------------------------------------------------------

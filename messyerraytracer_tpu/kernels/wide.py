@@ -440,9 +440,11 @@ def build_wide8_scene(bvh: BVH, tris: Triangles, _np=None,
         nidx[:nw, 6 * k + 3 : 6 * k + 6] = np.where(pm, bmax, nan_pos)
         nidx[:nw, 48 + k] = cb + WIDE8_CAP * np.arange(nw, dtype=np.int32) + k
     nidx[:nw, 56] = cb + 8 * num_wide + np.arange(nw, dtype=np.int32)
+    # axes padded to num_wide (dummy node's axis slot) so zero_pos /
+    # nan_pos land on the documented 0.0 / NaN elements exactly
     node_const = np.concatenate(
         [enc.reshape(-1), waxes.astype(np.float32),
-         np.float32([0.0]), np.float32([np.nan])]
+         np.float32([0.0, 0.0, np.nan])]
     )
     node_idx = _pack_idx(nidx, NODES8_PER_ROW, NODE8_STRIDE, zero_pos)
 

@@ -143,7 +143,7 @@ def native_build_wide8_tables(amin, amax, lf, cnt, t: int):
     num_wide = nw + 1
     return (
         node_idx[:_pad8_rows(num_wide)],
-        node_const[: 8 * num_wide + nw + 2],
+        node_const[: 9 * num_wide + 2],
         leaf_idx,
         leaf_const,
         leaf_first,

@@ -446,8 +446,11 @@ int32_t mrt_build_wide8_tables(
     int32_t* row = node_idx + static_cast<int64_t>(nw) * 64;
     for (int f = 0; f < 48; ++f) row[f] = nan_pos;
   }
-  node_const[8 * static_cast<int64_t>(num_wide) + nw] = 0.0f;
-  node_const[8 * static_cast<int64_t>(num_wide) + nw + 1] = NAN;
+  // axes slot for the dummy node pads axes to num_wide entries, so the
+  // 0.0 / NaN sentinels sit at cb + 9*num_wide (+1) as documented
+  axes_out[nw] = 0.0f;
+  node_const[9 * static_cast<int64_t>(num_wide)] = 0.0f;
+  node_const[9 * static_cast<int64_t>(num_wide) + 1] = NAN;
 
   // ---- packed leaf indices + const tail ------------------------------
   const int64_t cb2 = 9 * static_cast<int64_t>(t);

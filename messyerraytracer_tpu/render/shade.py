@@ -360,7 +360,11 @@ def extract_surface(hits, ray_dirs, materials: Materials,
     specular = materials.specular[mat_ids]
     emission = materials.emission[mat_ids]
 
-    if atlas is not None:
+    if atlas is not None and attrs is not None:
+        # Textures need real UVs: with no attribute tables every pixel's
+        # uv is (0,0) and a textured material would be modulated by one
+        # texel — the reference samples only when UVs exist
+        # (shade_pass.h:516-524), so gate the whole block on attrs.
         from .textures import sample_bilinear
 
         # albedo texture modulates the flat color (shade_pass.h:516-524);
@@ -368,17 +372,16 @@ def extract_surface(hits, ray_dirs, materials: Materials,
         albedo = albedo * sample_bilinear(
             atlas, materials.albedo_tex[mat_ids], uv[:, 0], uv[:, 1]
         )
-        if attrs is not None:
-            # normal-map perturbation via the TBN basis
-            # (shade_pass.h:527-553): sample in [0,1], decode to [-1,1]
-            ntex = materials.normal_tex[mat_ids]
-            nsamp = sample_bilinear(atlas, ntex, uv[:, 0], uv[:, 1])
-            tang, sign, has_t = interpolate_tangent(attrs, pid, hits.u, hits.v)
-            perturbed = perturb_normal(
-                n, tang, sign, nsamp * 2.0 - 1.0,
-                materials.normal_scale[mat_ids][:, None],
-            )
-            n = jnp.where(((ntex > 0) & has_t)[:, None], perturbed, n)
+        # normal-map perturbation via the TBN basis
+        # (shade_pass.h:527-553): sample in [0,1], decode to [-1,1]
+        ntex = materials.normal_tex[mat_ids]
+        nsamp = sample_bilinear(atlas, ntex, uv[:, 0], uv[:, 1])
+        tang, sign, has_t = interpolate_tangent(attrs, pid, hits.u, hits.v)
+        perturbed = perturb_normal(
+            n, tang, sign, nsamp * 2.0 - 1.0,
+            materials.normal_scale[mat_ids][:, None],
+        )
+        n = jnp.where(((ntex > 0) & has_t)[:, None], perturbed, n)
 
     view = -ray_dirs
     n_dot_v = jnp.maximum(jnp.sum(n * view, axis=-1), 1e-4)

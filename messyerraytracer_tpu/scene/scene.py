@@ -143,7 +143,13 @@ class RayScene:
             jnp.asarray(v0, jnp.float32), jnp.asarray(v1, jnp.float32),
             jnp.asarray(v2, jnp.float32),
         )
-        return dataclasses.replace(self, tris=tris, bvh=bvh, wide=wide)
+        # Drop lazily-built frontier caches: they embed copies of the
+        # pre-refit boxes/triangles and would silently serve stale
+        # geometry (same bug class as the TLAS _two_level cache).
+        return dataclasses.replace(
+            self, tris=tris, bvh=bvh, wide=wide,
+            _frontier=None, _frontier_q=None,
+        )
 
 
 @jax.jit

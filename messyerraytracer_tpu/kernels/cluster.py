@@ -137,8 +137,8 @@ class ClusterScene:
                128-lane group.  Group g rows [g*BR, (g+1)*BR); cluster c
                occupies lanes [16*(c%8), 16*(c%8)+16) of group c//8.
                Rows 0..4T-1: A rows grouped [det | u | v | t] x T.
-               Row 4T: lanes 0:3 = anchor, lane 3.. wait lane 3 = real-tri
-               count (f32).  Rows 4T+1..BR-1: zero pad (BR = 4T+8).
+               Row 4T: lanes 0:3 = anchor, lane 3 = real-tri count (f32).
+               Rows 4T+1..BR-1: zero pad (BR = 4T+8).
     slot_*     (C*T,) hit metadata per padded slot (slot = c*T + k).
     node_idx / node_const — gather tables for device refresh after refit
                (same contract as kernels/wide.py).
@@ -358,3 +358,498 @@ def _mask_ablocks(cs: ClusterScene, query_mask: int) -> jnp.ndarray:
     anchors1 = jnp.ones((c, 3), jnp.float32)
     factor = _arrange_ablocks(fac, anchors1, ones, tcap)
     return cs.ablocks * factor
+
+
+# ---------------------------------------------------------------------------
+# the kernel
+# ---------------------------------------------------------------------------
+
+def _cluster_kernel(
+    rays_hbm,                   # (TILES*8*srows, 128) f32, field-major/tile
+    nodes_hbm, ablk_hbm,        # upper tree (VMEM-staged) + A blocks (HBM)
+    fout_hbm, iout_hbm,         # (TILES*3*srows,128) f32, (TILES*2*srows,128) i32
+    pops_out,                   # (1, 1) i32 SMEM
+    ray_buf, fbuf, ibuf, stack_ref, queue_ref, nodes_ref, qland, sems,
+    *, any_hit: bool, dummy_enc: int, srows: int, tcap: int,
+    num_tiles: int, qd: int, precision,
+):
+    """Packet traversal of the (small) upper tree + dense MXU cluster
+    drains, single invocation over all ray tiles.
+
+    Pipeline: the drain queue IS the prefetch pipeline — a cluster's
+    A-block DMA starts the moment the pop pushes it, and its drain (>= 1
+    iteration later, usually several) waits the per-slot semaphore.  Ray
+    tiles and result tiles double-buffer through HBM like the packet
+    megakernel (traverse_pallas.py::_mega_kernel).
+    """
+    npr = NODES8_PER_ROW
+    nstride = NODE8_STRIDE
+    rrows = 8 * srows
+    frows = 3 * srows
+    irows = 2 * srows
+    br = 4 * tcap + 8
+    t4 = 4 * tcap
+    dummy_node = dummy_enc >> 1
+    qmask = QCAP - 1
+
+    def _ray_in(g, pb):
+        return pltpu.make_async_copy(
+            rays_hbm.at[pl.ds(g * rrows, rrows), :],
+            ray_buf.at[pl.ds(pb * rrows, rrows), :], sems.at[2 + pb],
+        )
+
+    def _f_out(g, pb):
+        return pltpu.make_async_copy(
+            fbuf.at[pl.ds(pb * frows, frows), :],
+            fout_hbm.at[pl.ds(g * frows, frows), :], sems.at[4 + pb],
+        )
+
+    def _i_out(g, pb):
+        return pltpu.make_async_copy(
+            ibuf.at[pl.ds(pb * irows, irows), :],
+            iout_hbm.at[pl.ds(g * irows, irows), :], sems.at[6 + pb],
+        )
+
+    def _ablk_copy(c, slot):
+        return pltpu.make_async_copy(
+            ablk_hbm.at[pl.ds((c >> 3) * br, br), :],
+            qland.at[pl.ds(slot * br, br), :], sems.at[8 + slot],
+        )
+
+    c1 = pltpu.make_async_copy(nodes_hbm, nodes_ref, sems.at[0])
+    c1.start()
+    _ray_in(0, 0).start()
+    c1.wait()
+
+    def safe_inv(x):
+        small = jnp.abs(x) < INV_DIR_EPS
+        sign = jnp.where(x < 0.0, -1.0, 1.0)
+        return jnp.where(small, sign / INV_DIR_EPS,
+                         1.0 / jnp.where(small, 1.0, x))
+
+    ones_row = jnp.ones((1, 128), jnp.float32)
+    zeros6 = jnp.zeros((6, 128), jnp.float32)
+
+    def group_body(g, pops_total):
+        pb = g & 1
+        _ray_in(g, pb).wait()
+
+        @pl.when(g + 1 < num_tiles)
+        def _():
+            _ray_in(g + 1, 1 - pb).start()
+
+        base = pb * rrows
+        O = tuple(ray_buf[pl.ds(base + f * srows, srows), :]
+                  for f in range(3))
+        D = tuple(ray_buf[pl.ds(base + (3 + f) * srows, srows), :]
+                  for f in range(3))
+        INV = tuple(safe_inv(x) for x in D)
+        TMIN = ray_buf[pl.ds(base + 6 * srows, srows), :]
+        TMAX = ray_buf[pl.ds(base + 7 * srows, srows), :]
+        SGN = tuple(jnp.sum(D[a]) >= 0.0 for a in range(3))
+        stack_ref[0, 0] = jnp.int32(0)   # root node index
+
+        def drain_one(li, slot_idx, st):
+            """Dense MXU intersection of the whole tile vs cluster ``li``
+            whose A-block was prefetched into queue slot ``slot_idx``.
+
+            Per-ray best state is carried as tuples of (1,128) row values
+            (Mosaic has no dynamic_update_slice on values; static row
+            tuples make every update a plain where on the touched row)."""
+            cap, best, slot, uu, vv, tt = st
+            best, slot, uu, vv = list(best), list(slot), list(uu), list(vv)
+            _ablk_copy(li, slot_idx).wait()
+            l0 = 16 * (li & 7)
+            ab = qland[pl.ds(slot_idx * br, t4), :]
+            arot = pltpu.roll(ab, -l0, axis=1)
+            amat = arot[:, 0:16]                       # (4T, 16)
+            mrow = qland[pl.ds(slot_idx * br + t4, 1), :]
+            mrot = pltpu.roll(mrow, -l0, axis=1)
+            ax, ay, az = mrot[0, 0], mrot[0, 1], mrot[0, 2]
+            cnt = mrot[0, 3]
+
+            for i in range(srows):
+                oxr = O[0][i:i + 1, :]
+                oyr = O[1][i:i + 1, :]
+                ozr = O[2][i:i + 1, :]
+                dxr = D[0][i:i + 1, :]
+                dyr = D[1][i:i + 1, :]
+                dzr = D[2][i:i + 1, :]
+                # re-anchor at closest approach to the cluster anchor:
+                # tau = d.(a-o); o' = o + tau d - a  (keeps every matmul
+                # operand O(cluster size) — see module docstring)
+                tau = (dxr * (ax - oxr) + dyr * (ay - oyr)
+                       + dzr * (az - ozr))
+                ocx = oxr + tau * dxr - ax
+                ocy = oyr + tau * dyr - ay
+                ocz = ozr + tau * dzr - az
+                mx = ocy * dzr - ocz * dyr
+                my = ocz * dxr - ocx * dzr
+                mz = ocx * dyr - ocy * dxr
+                p = jnp.concatenate(
+                    [dxr, dyr, dzr, mx, my, mz, ocx, ocy, ocz, ones_row,
+                     zeros6], axis=0,
+                )                                       # (16, 128)
+                o_ = jax.lax.dot_general(
+                    amat, p, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=precision,
+                )                                       # (4T, 128)
+                det = o_[0:tcap]
+                un = o_[tcap:2 * tcap]
+                vn = o_[2 * tcap:3 * tcap]
+                tn = o_[3 * tcap:4 * tcap]
+                ok = jnp.abs(det) >= MT_DET_EPS
+                idet = 1.0 / jnp.where(ok, det, 1.0)
+                u = un * idet
+                v = vn * idet
+                t = tn * idet + tau
+                bestr = best[i]
+                valid = (
+                    ok
+                    & (u >= 0.0) & (u <= 1.0)
+                    & (v >= 0.0) & (u + v <= 1.0)
+                    & (t >= TMIN[i:i + 1, :]) & (t <= TMAX[i:i + 1, :])
+                    & (t < bestr)
+                )
+                score = jnp.where(valid, t, _BIG)
+                tb = jnp.min(score, axis=0, keepdims=True)     # (1,128)
+                better = tb < bestr
+                ks = jax.lax.broadcasted_iota(jnp.int32, (tcap, 128), 0)
+                sel = (score == tb) & valid
+                kb = jnp.min(jnp.where(sel, ks, tcap), axis=0,
+                             keepdims=True)
+                selk = sel & (ks == kb)
+                ub = jnp.max(jnp.where(selk, u, -_BIG), axis=0,
+                             keepdims=True)
+                vb = jnp.max(jnp.where(selk, v, -_BIG), axis=0,
+                             keepdims=True)
+                cand = li * tcap + kb
+                best[i] = jnp.where(better, tb, bestr)
+                slot[i] = jnp.where(better, cand, slot[i])
+                uu[i] = jnp.where(better, ub, uu[i])
+                vv[i] = jnp.where(better, vb, vv[i])
+            tt = tt + cnt.astype(jnp.int32)
+            cap = jnp.minimum(jnp.concatenate(best, axis=0), TMAX)
+            return (cap, tuple(best), tuple(slot), tuple(uu), tuple(vv),
+                    tt)
+
+        def step_fn(st):
+            (sp, qh, qt, cap, best, slot, uu, vv, tt, pops) = st
+            # ---- drain up to qd prefetched clusters ---------------------
+            qlen = qt - qh
+            for j in range(qd):
+                li = queue_ref[0, (qh + j) & qmask]
+                st6 = (cap, best, slot, uu, vv, tt)
+                st6 = jax.lax.cond(
+                    j < qlen,
+                    functools.partial(drain_one, li, (qh + j) & qmask),
+                    lambda s: s, st6,
+                )
+                (cap, best, slot, uu, vv, tt) = st6
+            qh = qh + jnp.minimum(qlen, qd)
+
+            # ---- one upper-tree pop (branch-free dummy fallback) --------
+            room = (qt - qh) <= QCAP - WIDE8_CAP
+            active = (sp > 0) & room
+            nidx = jnp.where(active, stack_ref[0, jnp.maximum(sp - 1, 0)],
+                             jnp.int32(dummy_node))
+            sp = jnp.where(active, sp - 1, sp)
+            pops = pops + active.astype(jnp.int32)
+            row = nodes_ref[pl.ds(nidx // npr, 1), :]
+            rot = pltpu.roll(row, -(nidx % npr) * nstride, axis=1)
+
+            def slab_hit(b0):
+                lox, hix = rot[0, b0], rot[0, b0 + 3]
+                loy, hiy = rot[0, b0 + 1], rot[0, b0 + 4]
+                loz, hiz = rot[0, b0 + 2], rot[0, b0 + 5]
+                t1 = (lox - O[0]) * INV[0]
+                t2 = (hix - O[0]) * INV[0]
+                tn_ = jnp.minimum(t1, t2)
+                tf = jnp.maximum(t1, t2)
+                t1 = (loy - O[1]) * INV[1]
+                t2 = (hiy - O[1]) * INV[1]
+                tn_ = jnp.maximum(tn_, jnp.minimum(t1, t2))
+                tf = jnp.minimum(tf, jnp.maximum(t1, t2))
+                t1 = (loz - O[2]) * INV[2]
+                t2 = (hiz - O[2]) * INV[2]
+                tn_ = jnp.maximum(tn_, jnp.minimum(t1, t2))
+                tf = jnp.minimum(tf, jnp.maximum(t1, t2))
+                return (tf >= jnp.maximum(tn_, 0.0)) & (tn_ <= cap)
+
+            # 8 child tests -> two packed scalar reductions (the CWBVH
+            # two-4-child-batch move, cwbvh_traverse.comp.glsl:260-323)
+            lo = hi = None
+            for k in range(WIDE8_CAP):
+                hk = slab_hit(6 * k)
+                col = jnp.max(hk.astype(jnp.int32), axis=0, keepdims=True)
+                term = col * (1 << (8 * (k % 4)))
+                if k < 4:
+                    lo = term if lo is None else lo + term
+                else:
+                    hi = term if hi is None else hi + term
+            m_lo = jnp.sum(lo)
+            m_hi = jnp.sum(hi)
+            anyk = [
+                (jax.lax.shift_right_logical(
+                    m_lo if k < 4 else m_hi, 8 * (k % 4)) & 255) > 0
+                for k in range(WIDE8_CAP)
+            ]
+            encs = [rot[0, 48 + k].astype(jnp.int32)
+                    for k in range(WIDE8_CAP)]
+            axis = rot[0, 56].astype(jnp.int32)
+            fwd = jnp.where(
+                axis == 0, SGN[0], jnp.where(axis == 1, SGN[1], SGN[2])
+            )
+            order = tuple(
+                (jnp.where(fwd, encs[j], encs[WIDE8_CAP - 1 - j]),
+                 jnp.where(fwd, anyk[j], anyk[WIDE8_CAP - 1 - j]))
+                for j in range(WIDE8_CAP - 1, -1, -1)
+            )
+
+            # Route children: clusters -> queue (+ START their A-block
+            # DMA), internals -> stack.  Untaken writes land in the
+            # sacrificial lane (queue QCAP / stack KSTACK).
+            for e_j, h_j in order:
+                isleaf = (e_j & 1) == 1
+                tgt = jax.lax.shift_right_logical(e_j, 1)
+                wq = h_j & isleaf
+                queue_ref[0, jnp.where(wq, qt & qmask, QCAP)] = tgt
+
+                @pl.when(wq)
+                def _(tgt=tgt, qt=qt):
+                    _ablk_copy(tgt, qt & qmask).start()
+
+                qt = qt + wq.astype(jnp.int32)
+                ws = h_j & jnp.logical_not(isleaf) & (sp < KSTACK)
+                stack_ref[0, jnp.where(ws, sp, KSTACK)] = tgt
+                sp = sp + ws.astype(jnp.int32)
+            return (sp, qh, qt, cap, best, slot, uu, vv, tt, pops)
+
+        shape = (srows, 128)
+        row1 = (1, 128)
+        init = (
+            jnp.int32(1), jnp.int32(0), jnp.int32(0),
+            jnp.minimum(jnp.full(shape, _BIG, jnp.float32), TMAX),
+            tuple(jnp.full(row1, _BIG, jnp.float32) for _ in range(srows)),
+            tuple(jnp.full(row1, -1, jnp.int32) for _ in range(srows)),
+            tuple(jnp.zeros(row1, jnp.float32) for _ in range(srows)),
+            tuple(jnp.zeros(row1, jnp.float32) for _ in range(srows)),
+            jnp.zeros(shape, jnp.int32),
+            jnp.int32(0),
+        )
+
+        def cond(c):
+            st, done = c
+            alive = ((st[0] > 0) | (st[2] > st[1])) & (st[9] < MAX_ITERS)
+            if any_hit:
+                alive = alive & jnp.logical_not(done)
+            return alive
+
+        def body(c):
+            st, done = c
+            st = step_fn(st)
+            if any_hit:
+                done = jnp.min(jnp.concatenate(st[5], axis=0)) >= 0
+            return (st, done)
+
+        st, _ = jax.lax.while_loop(cond, body, (init, jnp.bool_(False)))
+        (sp, qh, qt, cap, best_t_, slot_t_, uu_t_, vv_t_, tt, pops) = st
+        best = jnp.concatenate(best_t_, axis=0)
+        slot = jnp.concatenate(slot_t_, axis=0)
+        uu = jnp.concatenate(uu_t_, axis=0)
+        vv = jnp.concatenate(vv_t_, axis=0)
+
+        if any_hit:
+            # early exit can abandon queued prefetches; balance their sems
+            def clean(j, qh_c):
+                @pl.when(qh_c < qt)
+                def _():
+                    li = queue_ref[0, qh_c & qmask]
+                    _ablk_copy(li, qh_c & qmask).wait()
+                return qh_c + 1
+
+            jax.lax.fori_loop(0, QCAP, clean, qh)
+
+        @pl.when(g >= 2)
+        def _():
+            _f_out(g - 2, pb).wait()
+            _i_out(g - 2, pb).wait()
+
+        found = slot >= 0
+        fb = pb * frows
+        ib = pb * irows
+        fbuf[pl.ds(fb, srows), :] = jnp.where(found, best, T_MAX_DEFAULT)
+        fbuf[pl.ds(fb + srows, srows), :] = jnp.where(found, uu, 0.0)
+        fbuf[pl.ds(fb + 2 * srows, srows), :] = jnp.where(found, vv, 0.0)
+        ibuf[pl.ds(ib, srows), :] = slot
+        ibuf[pl.ds(ib + srows, srows), :] = tt
+        _f_out(g, pb).start()
+        _i_out(g, pb).start()
+        return pops_total + pops
+
+    pops_total = jax.lax.fori_loop(0, num_tiles, group_body, jnp.int32(0))
+    for g in range(max(num_tiles - 2, 0), num_tiles):
+        _f_out(g, g & 1).wait()
+        _i_out(g, g & 1).wait()
+    pops_out[0, 0] = pops_total
+
+
+def _call_cluster(rays_packed, nodes, ablocks, *, any_hit, interpret,
+                  num_tiles, dummy_enc, srows, tcap, qd, precision):
+    rrows = 8 * srows
+    frows = 3 * srows
+    irows = 2 * srows
+    br = 4 * tcap + 8
+    kern = functools.partial(
+        _cluster_kernel, any_hit=any_hit, dummy_enc=dummy_enc,
+        srows=srows, tcap=tcap, num_tiles=num_tiles, qd=qd,
+        precision=precision,
+    )
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
+    cp = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+    return pl.pallas_call(
+        kern,
+        compiler_params=cp,
+        in_specs=[hbm, hbm, hbm],
+        out_specs=(hbm, hbm, pl.BlockSpec(memory_space=pltpu.SMEM)),
+        out_shape=(
+            jax.ShapeDtypeStruct((num_tiles * frows, 128), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles * irows, 128), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2 * rrows, 128), jnp.float32),   # ray grp (dbuf)
+            pltpu.VMEM((2 * frows, 128), jnp.float32),   # f32 out (dbuf)
+            pltpu.VMEM((2 * irows, 128), jnp.int32),     # i32 out (dbuf)
+            pltpu.SMEM((1, KSTACK + 1), jnp.int32),      # + sacrificial
+            pltpu.SMEM((1, QCAP + 1), jnp.int32),        # ring + sacrificial
+            pltpu.VMEM(nodes.shape, jnp.float32),        # upper tree
+            pltpu.VMEM((QCAP * br, 128), jnp.float32),   # A-block landings
+            # 0 nodes; 2+pb ray-in; 4+pb f-out; 6+pb i-out; 8+slot qland
+            pltpu.SemaphoreType.DMA((8 + QCAP,)),
+        ],
+        interpret=interpret,
+    )(rays_packed, nodes, ablocks)
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+CLUSTER_SROWS = 16   # ray-tile height (srows x 128 rays per tile)
+CLUSTER_QD = 2       # cluster drains per traversal iteration
+
+
+def cast_rays_cluster(
+    rays: Rays,
+    cs: ClusterScene,
+    query_mask: int = -1,
+    any_hit: bool = False,
+    interpret: bool | None = None,
+    srows: int = CLUSTER_SROWS,
+    qd: int = CLUSTER_QD,
+    precision: str = "highest",
+) -> tuple[Hits, RayStats, jnp.ndarray]:
+    """Closest-hit / any-hit cast through the MXU cluster kernel.
+
+    Single jitted computation end-to-end (one device dispatch per cast).
+    ``precision`` selects the MXU f32 emulation mode for the A @ P
+    contraction: "highest" (bf16x6 passes, ~1-2 ulp of f32 — the parity
+    mode) or "default".  Returns (hits, stats, occluded).
+    """
+    if interpret is None:
+        interpret = not _on_tpu()
+    return _cast_rays_cluster_jit(
+        rays, cs, query_mask=int(query_mask), any_hit=any_hit,
+        interpret=interpret, srows=srows, qd=qd, precision=precision,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("query_mask", "any_hit", "interpret", "srows", "qd",
+                     "precision"),
+)
+def _cast_rays_cluster_jit(
+    rays: Rays,
+    cs: ClusterScene,
+    *,
+    query_mask: int,
+    any_hit: bool,
+    interpret: bool,
+    srows: int,
+    qd: int,
+    precision: str,
+) -> tuple[Hits, RayStats, jnp.ndarray]:
+    n = rays.count
+    step = srows * 128
+    num_tiles = -(-n // step)
+    # pow2-ish bucketing: nearby batch sizes reuse the compiled kernel
+    b = 1
+    while b < num_tiles:
+        b *= 2
+    if num_tiles > b // 2 and num_tiles <= 3 * b // 4 and b >= 4:
+        b = 3 * b // 4
+    num_tiles = b
+    pad = num_tiles * step - n
+
+    def fld(x, fillv):
+        x = (jnp.concatenate([x, jnp.full((pad,), fillv, x.dtype)])
+             if pad else x)
+        return x.reshape(num_tiles * srows, 128)
+
+    rfields = (
+        fld(rays.origin[:, 0], 0.0), fld(rays.origin[:, 1], 0.0),
+        fld(rays.origin[:, 2], 0.0),
+        fld(rays.direction[:, 0], 0.0), fld(rays.direction[:, 1], 0.0),
+        fld(rays.direction[:, 2], 1.0),
+        fld(rays.t_min, 0.0), fld(rays.t_max, -1.0),  # pads never hit
+    )
+    packed = jnp.stack(
+        [f.reshape(num_tiles, srows, 128) for f in rfields], axis=1
+    ).reshape(num_tiles * 8 * srows, 128)
+
+    ablocks = cs.ablocks
+    if query_mask != -1:
+        ablocks = _mask_ablocks(cs, query_mask)
+
+    prec = (jax.lax.Precision.HIGHEST if precision == "highest"
+            else jax.lax.Precision.DEFAULT)
+    fout, iout, pops_tot = _call_cluster(
+        packed, cs.nodes, ablocks,
+        any_hit=any_hit, interpret=interpret, num_tiles=num_tiles,
+        dummy_enc=cs.dummy_enc, srows=srows, tcap=cs.tcap, qd=qd,
+        precision=prec,
+    )
+    f4 = fout.reshape(num_tiles, 3, srows * 128)
+    i4 = iout.reshape(num_tiles, 2, srows * 128)
+    t = f4[:, 0].reshape(-1)[:n]
+    u = f4[:, 1].reshape(-1)[:n]
+    v = f4[:, 2].reshape(-1)[:n]
+    slot = i4[:, 0].reshape(-1)[:n]
+    tt = i4[:, 1].reshape(-1)[:n]
+
+    found = slot >= 0
+    gslot = jnp.maximum(slot, 0)
+    hits = Hits(
+        t=jnp.where(found, t, T_MAX_DEFAULT),
+        position=jnp.where(
+            found[:, None], rays.origin + rays.direction * t[:, None], 0.0
+        ),
+        normal=jnp.where(found[:, None], cs.slot_normal[gslot], 0.0),
+        u=u,
+        v=v,
+        prim_id=jnp.where(found, cs.slot_prim_id[gslot], NO_HIT),
+        hit_layers=jnp.where(found, cs.slot_layers[gslot], 0),
+    )
+    stats = RayStats(
+        rays_cast=jnp.int32(n),
+        tri_tests=jnp.sum(tt.astype(jnp.float32)),
+        bvh_nodes_visited=jnp.sum(pops_tot[0, 0][None]),
+        hits=jnp.sum(found.astype(jnp.int32)),
+    )
+    return hits, stats, found

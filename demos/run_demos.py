@@ -222,7 +222,14 @@ def demo_normal_map():
 
 
 def demo_panorama():
-    """HDR panorama environment (panorama_demo.gd)."""
+    """HDR panorama environment (panorama_demo.gd).
+
+    Exercises the real .hdr asset path: the panorama is written to disk
+    as a Radiance RGBE file and loaded back through the cached
+    ``load_panorama`` (the reference loads gradient_sky.hdr through its
+    panorama cache, ray_renderer.cpp:679-704)."""
+    from messyerraytracer_tpu.render.hdr import load_panorama, write_hdr
+
     # procedural sky panorama: horizontal hue gradient + bright band
     ph, pw = 64, 128
     yy, xx = np.mgrid[0:ph, 0:pw]
@@ -231,6 +238,10 @@ def demo_panorama():
          0.4 + 0.3 * np.cos(xx / pw * 12.56),
          np.clip(1.2 - yy / ph, 0, 1)], axis=-1
     ).astype(np.float32)
+    os.makedirs(OUT, exist_ok=True)
+    hdr_path = os.path.join(OUT, "sky.hdr")
+    write_hdr(hdr_path, pan)
+    pan = load_panorama(hdr_path)
     env = make_environment(panorama=pan, panorama_energy=1.0, tonemap_mode=3)
     scene = build_scene_from_tri_array(
         meshes.uv_sphere(1.0, 16, 32, center=(0, 0, 0))

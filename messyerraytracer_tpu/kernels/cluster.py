@@ -11,14 +11,17 @@ module replaces the *lower* tree levels with dense MXU phases:
     shared-SMEM-stack packet scheme — but it now has ~50x fewer nodes, so
     pops per tile drop from ~70 to ~10.
   * A cluster visit intersects ALL rays in the tile against ALL T
-    triangles as ONE matmul per ray row: the Moller-Trumbore numerators
-    and determinant are bilinear in (ray, triangle), so with rays packed
-    as Plucker-style vectors r = [d, m=o'xd, o', 1] and triangles as a
-    precomputed (4T, 16) matrix A (rows det/u/v/t x T), the whole
-    (ray, tri) pair grid is A @ P — an MXU contraction — followed by a
-    short dense VPU epilogue (divide, range tests, min-reduce).  This is
-    the reference GPU's per-node child-batch testing
-    (src/gpu/shaders/cwbvh_traverse.comp.glsl:260-323) recast as matmuls.
+    triangles as dense (T,1)x(1,128) broadcast arithmetic: the
+    Moller-Trumbore numerators and determinant are bilinear in (ray
+    Plucker coordinates [d, m=o'xd, o', 1]) x (16 precomputed per-
+    triangle fields), so each quantity is a handful of full-width VPU
+    ops over the (T, 128-ray) pair grid — no serial reductions, no
+    scalar extracts, no per-4-tri batches.  This is the reference GPU's
+    per-node child-batch testing (cwbvh_traverse.comp.glsl:260-323)
+    recast as dense pair-grid phases.  (An MXU A@P formulation of the
+    same bilinear forms was built and measured SLOWER: K=16 against the
+    128-wide systolic array caps utilization at 12.5% and f32 emulation
+    multiplies passes 3-6x — see PERF.md round-3 notes.)
   * Conditioning: the raw Plucker moment m = o x d amplifies rounding by
     |o| / |hit offset|.  Each cluster stores an anchor a (its AABB
     center); rays are re-anchored per visit at their closest approach to
@@ -133,12 +136,16 @@ class ClusterScene:
     nodes      (NR, 128) f32 — upper-tree 8-wide rows, wide8 layout
                (kernels/wide.py): child boxes at 6k, enc at 48+k (leaf bit
                set => cluster id), sort axis at 56.
-    ablocks    (G8*BR, 128) f32 — Plucker A-matrix blocks, 8 clusters per
-               128-lane group.  Group g rows [g*BR, (g+1)*BR); cluster c
-               occupies lanes [16*(c%8), 16*(c%8)+16) of group c//8.
-               Rows 0..4T-1: A rows grouped [det | u | v | t] x T.
-               Row 4T: lanes 0:3 = anchor, lane 3 = real-tri count (f32).
-               Rows 4T+1..BR-1: zero pad (BR = 4T+8).
+    ablocks    ((C+1)*BR, 128) f32 — per-cluster field slabs, one
+               cluster per contiguous BR-row slab (BR = T + 8; each
+               prefetch DMA is one contiguous 512*BR-byte read, 128-lane
+               aligned as Mosaic DMA requires).  Cluster c, row k (tri
+               k), lanes: [0:3]=-n, [3:6]=v0'xe2, [6:9]=e2,
+               [9:12]=-(v0'xe1), [12:15]=-e1, [15]=-v0'.n  (v0' = v0
+               relative to the cluster anchor; n = e1 x e2).  Row T:
+               lanes 0:3 = anchor, lane 3 = real-tri count (f32).
+               Rows T+1..BR-1 zero.  The last slab is the all-zero dummy
+               cluster.
     slot_*     (C*T,) hit metadata per padded slot (slot = c*T + k).
     node_idx / node_const — gather tables for device refresh after refit
                (same contract as kernels/wide.py).
@@ -163,7 +170,7 @@ class ClusterScene:
 
     @property
     def block_rows(self) -> int:
-        return 4 * self.tcap + 8
+        return self.tcap + 8
 
 
 def _upper_node_tables(amin, amax, lf, cnt, is_cluster, cluster_of, tcap):
@@ -282,28 +289,25 @@ def build_cluster_scene(bvh: BVH, tris, _np=None,
 
 
 def _arrange_ablocks(rows16, anchors, counts, tcap):
-    """Arrange per-cluster A rows into the lane-packed block layout.
+    """Arrange per-cluster triangle fields into the contiguous slab layout.
 
-    rows16:  (C, 4T, 16) f32 — A rows per cluster
+    rows16:  (C, T, 16) f32 — per-triangle field rows per cluster
     anchors: (C, 3) f32, counts: (C,) f32
-    returns (G8*BR, 128) f32 with a trailing all-zero dummy cluster.
+    returns ((C+1)*BR, 128) f32 with a trailing all-zero dummy cluster.
     """
     c = rows16.shape[0]
-    br = 4 * tcap + 8
-    g8 = -(-(c + 1) // 8)
-    pad = g8 * 8 - c
-    rows16 = jnp.concatenate(
-        [rows16, jnp.zeros((pad, 4 * tcap, 16), jnp.float32)]
+    br = tcap + 8
+    body = jnp.concatenate(
+        [rows16, jnp.zeros((c, tcap, 112), jnp.float32)], axis=2
     )
-    meta = jnp.zeros((c, 16), jnp.float32)
-    meta = meta.at[:, 0:3].set(anchors).at[:, 3].set(counts)
-    meta = jnp.concatenate([meta, jnp.zeros((pad, 16), jnp.float32)])
-    # (G8, 8, 4T, 16) -> (G8, 4T, 8, 16) -> (G8, 4T, 128)
-    body = rows16.reshape(g8, 8, 4 * tcap, 16).transpose(0, 2, 1, 3)
-    body = body.reshape(g8, 4 * tcap, 128)
-    mrow = meta.reshape(g8, 1, 128)
-    zpad = jnp.zeros((g8, 7, 128), jnp.float32)
-    return jnp.concatenate([body, mrow, zpad], axis=1).reshape(g8 * br, 128)
+    meta = jnp.zeros((c, 1, 128), jnp.float32)
+    meta = meta.at[:, 0, 0:3].set(anchors).at[:, 0, 3].set(counts)
+    zpad = jnp.zeros((c, 7, 128), jnp.float32)
+    slabs = jnp.concatenate([body, meta, zpad], axis=1)    # (C, BR, 128)
+    slabs = slabs.reshape(c * br, 128)
+    return jnp.concatenate(
+        [slabs, jnp.zeros((br, 128), jnp.float32)]         # dummy cluster
+    )
 
 
 @jax.jit
@@ -323,21 +327,11 @@ def refresh_cluster_scene(cs: ClusterScene, bvh: BVH, tris) -> ClusterScene:
     e2 = jnp.where(vmask, tris.edge2[cs.slot_map], 0.0).reshape(c, tcap, 3)
     v0c = v0 - anchors[:, None, :]
     n = jnp.cross(e1, e2)
-    z = jnp.zeros((c, tcap, 1), jnp.float32)
-    z3 = jnp.zeros((c, tcap, 3), jnp.float32)
-
-    def row(a, b, cpart, dpart):
-        # lanes [d(0:3) | m(3:6) | o(6:9) | 1(9) | pad]
-        return jnp.concatenate(
-            [a, b, cpart, dpart, jnp.zeros((c, tcap, 6), jnp.float32)],
-            axis=-1,
-        )
-
-    det_r = row(-n, z3, z3, z)
-    u_r = row(jnp.cross(v0c, e2), e2, z3, z)
-    v_r = row(-jnp.cross(v0c, e1), -e1, z3, z)
-    t_r = row(z3, z3, n, -jnp.sum(v0c * n, axis=-1, keepdims=True))
-    rows16 = jnp.concatenate([det_r, u_r, v_r, t_r], axis=1)  # (C, 4T, 16)
+    rows16 = jnp.concatenate(
+        [-n, jnp.cross(v0c, e2), e2, -jnp.cross(v0c, e1), -e1,
+         -jnp.sum(v0c * n, axis=-1, keepdims=True)],
+        axis=-1,
+    )  # (C, T, 16)
     counts = jnp.sum(cs.cvalid.reshape(c, tcap), axis=1).astype(jnp.float32)
     ablocks = _arrange_ablocks(rows16, anchors, counts, tcap)
 
@@ -352,8 +346,8 @@ def _mask_ablocks(cs: ClusterScene, query_mask: int) -> jnp.ndarray:
     tcap, c = cs.tcap, cs.num_clusters
     ok = ((cs.slot_layers & query_mask) != 0).reshape(c, tcap)
     fac = jnp.broadcast_to(
-        ok.astype(jnp.float32)[:, None, :, None], (c, 4, tcap, 16)
-    ).reshape(c, 4 * tcap, 16)
+        ok.astype(jnp.float32)[:, :, None], (c, tcap, 16)
+    )
     ones = jnp.ones((c,), jnp.float32)
     anchors1 = jnp.ones((c, 3), jnp.float32)
     factor = _arrange_ablocks(fac, anchors1, ones, tcap)
@@ -371,7 +365,7 @@ def _cluster_kernel(
     pops_out,                   # (1, 1) i32 SMEM
     ray_buf, fbuf, ibuf, stack_ref, queue_ref, nodes_ref, qland, sems,
     *, any_hit: bool, dummy_enc: int, srows: int, tcap: int,
-    num_tiles: int, qd: int, precision,
+    num_tiles: int, qd: int, probe: str = "",
 ):
     """Packet traversal of the (small) upper tree + dense MXU cluster
     drains, single invocation over all ray tiles.
@@ -387,8 +381,7 @@ def _cluster_kernel(
     rrows = 8 * srows
     frows = 3 * srows
     irows = 2 * srows
-    br = 4 * tcap + 8
-    t4 = 4 * tcap
+    br = tcap + 8
     dummy_node = dummy_enc >> 1
     qmask = QCAP - 1
 
@@ -411,8 +404,9 @@ def _cluster_kernel(
         )
 
     def _ablk_copy(c, slot):
+        # one contiguous 16*BR*4-byte slab per cluster
         return pltpu.make_async_copy(
-            ablk_hbm.at[pl.ds((c >> 3) * br, br), :],
+            ablk_hbm.at[pl.ds(c * br, br), :],
             qland.at[pl.ds(slot * br, br), :], sems.at[8 + slot],
         )
 
@@ -426,9 +420,6 @@ def _cluster_kernel(
         sign = jnp.where(x < 0.0, -1.0, 1.0)
         return jnp.where(small, sign / INV_DIR_EPS,
                          1.0 / jnp.where(small, 1.0, x))
-
-    ones_row = jnp.ones((1, 128), jnp.float32)
-    zeros6 = jnp.zeros((6, 128), jnp.float32)
 
     def group_body(g, pops_total):
         pb = g & 1
@@ -449,24 +440,49 @@ def _cluster_kernel(
         SGN = tuple(jnp.sum(D[a]) >= 0.0 for a in range(3))
         stack_ref[0, 0] = jnp.int32(0)   # root node index
 
-        def drain_one(li, slot_idx, st):
-            """Dense MXU intersection of the whole tile vs cluster ``li``
-            whose A-block was prefetched into queue slot ``slot_idx``.
+        def drain_one(li, slot_idx, st, real=None):
+            """Dense intersection of the whole tile vs cluster ``li``
+            whose field slab was prefetched into queue slot ``slot_idx``.
 
-            Per-ray best state is carried as tuples of (1,128) row values
-            (Mosaic has no dynamic_update_slice on values; static row
-            tuples make every update a plain where on the touched row)."""
+            Carried state stays as six (srows,128) arrays — the loop/cond
+            machinery repackages every carried leaf per iteration, and 64
+            small row arrays measured ~5x the per-iteration overhead of 6
+            big ones.  Rows are read by slicing and rebuilt by one
+            concatenate per quantity at drain end (Mosaic has no
+            dynamic_update_slice on values)."""
             cap, best, slot, uu, vv, tt = st
-            best, slot, uu, vv = list(best), list(slot), list(uu), list(vv)
-            _ablk_copy(li, slot_idx).wait()
-            l0 = 16 * (li & 7)
-            ab = qland[pl.ds(slot_idx * br, t4), :]
-            arot = pltpu.roll(ab, -l0, axis=1)
-            amat = arot[:, 0:16]                       # (4T, 16)
-            mrow = qland[pl.ds(slot_idx * br + t4, 1), :]
-            mrot = pltpu.roll(mrow, -l0, axis=1)
+            best = [best[i:i + 1, :] for i in range(srows)]
+            slot = [slot[i:i + 1, :] for i in range(srows)]
+            uu = [uu[i:i + 1, :] for i in range(srows)]
+            vv = [vv[i:i + 1, :] for i in range(srows)]
+            if real is None:
+                _ablk_copy(li, slot_idx).wait()
+            else:
+                @pl.when(real)
+                def _():
+                    _ablk_copy(li, slot_idx).wait()
+            ab = qland[pl.ds(slot_idx * br, tcap), :]   # (T, 128)
+            mrot = qland[pl.ds(slot_idx * br + tcap, 1), :]
             ax, ay, az = mrot[0, 0], mrot[0, 1], mrot[0, 2]
             cnt = mrot[0, 3]
+
+            # (T,1) field columns; every bilinear form below is a lane-
+            # broadcast (T,1)x(1,128) op over the full pair grid
+            def colf(c):
+                return ab[:, c:c + 1]
+
+            if probe == "nodrain":
+                tt = tt + cnt.astype(jnp.int32)
+                return (cap, jnp.concatenate(best, axis=0),
+                        jnp.concatenate(slot, axis=0),
+                        jnp.concatenate(uu, axis=0),
+                        jnp.concatenate(vv, axis=0), tt)
+            nnx, nny, nnz = colf(0), colf(1), colf(2)     # -n
+            c2x, c2y, c2z = colf(3), colf(4), colf(5)     # v0' x e2
+            e2x, e2y, e2z = colf(6), colf(7), colf(8)     # e2
+            c1x, c1y, c1z = colf(9), colf(10), colf(11)   # -(v0' x e1)
+            e1x, e1y, e1z = colf(12), colf(13), colf(14)  # -e1
+            tw = colf(15)                                 # -v0'.n
 
             for i in range(srows):
                 oxr = O[0][i:i + 1, :]
@@ -486,19 +502,13 @@ def _cluster_kernel(
                 mx = ocy * dzr - ocz * dyr
                 my = ocz * dxr - ocx * dzr
                 mz = ocx * dyr - ocy * dxr
-                p = jnp.concatenate(
-                    [dxr, dyr, dzr, mx, my, mz, ocx, ocy, ocz, ones_row,
-                     zeros6], axis=0,
-                )                                       # (16, 128)
-                o_ = jax.lax.dot_general(
-                    amat, p, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=precision,
-                )                                       # (4T, 128)
-                det = o_[0:tcap]
-                un = o_[tcap:2 * tcap]
-                vn = o_[2 * tcap:3 * tcap]
-                tn = o_[3 * tcap:4 * tcap]
+                det = nnx * dxr + nny * dyr + nnz * dzr
+                un = (c2x * dxr + c2y * dyr + c2z * dzr
+                      + e2x * mx + e2y * my + e2z * mz)
+                vn = (c1x * dxr + c1y * dyr + c1z * dzr
+                      + e1x * mx + e1y * my + e1z * mz)
+                # t_num = (o'-v0').n = -(o'.(-n)) - v0'.n
+                tn = -(nnx * ocx + nny * ocy + nnz * ocz) + tw
                 ok = jnp.abs(det) >= MT_DET_EPS
                 idet = 1.0 / jnp.where(ok, det, 1.0)
                 u = un * idet
@@ -512,6 +522,15 @@ def _cluster_kernel(
                     & (t >= TMIN[i:i + 1, :]) & (t <= TMAX[i:i + 1, :])
                     & (t < bestr)
                 )
+                if probe == "noredux":
+                    # fold validity into best so nothing is DCE'd, skip
+                    # the min/index reductions (timing probe only)
+                    best[i] = jnp.minimum(
+                        best[i],
+                        jnp.max(jnp.where(valid, t, _BIG), axis=0,
+                                keepdims=True),
+                    )
+                    continue
                 score = jnp.where(valid, t, _BIG)
                 tb = jnp.min(score, axis=0, keepdims=True)     # (1,128)
                 better = tb < bestr
@@ -530,9 +549,11 @@ def _cluster_kernel(
                 uu[i] = jnp.where(better, ub, uu[i])
                 vv[i] = jnp.where(better, vb, vv[i])
             tt = tt + cnt.astype(jnp.int32)
-            cap = jnp.minimum(jnp.concatenate(best, axis=0), TMAX)
-            return (cap, tuple(best), tuple(slot), tuple(uu), tuple(vv),
-                    tt)
+            best = jnp.concatenate(best, axis=0)
+            cap = jnp.minimum(best, TMAX)
+            return (cap, best, jnp.concatenate(slot, axis=0),
+                    jnp.concatenate(uu, axis=0),
+                    jnp.concatenate(vv, axis=0), tt)
 
         def step_fn(st):
             (sp, qh, qt, cap, best, slot, uu, vv, tt, pops) = st
@@ -541,11 +562,17 @@ def _cluster_kernel(
             for j in range(qd):
                 li = queue_ref[0, (qh + j) & qmask]
                 st6 = (cap, best, slot, uu, vv, tt)
-                st6 = jax.lax.cond(
-                    j < qlen,
-                    functools.partial(drain_one, li, (qh + j) & qmask),
-                    lambda s: s, st6,
-                )
+                if probe == "nocond":
+                    # timing probe: drain unconditionally (garbage data on
+                    # empty queue — wrong results, isolates cond cost)
+                    st6 = drain_one(li, (qh + j) & qmask, st6,
+                                    real=j < qlen)
+                else:
+                    st6 = jax.lax.cond(
+                        j < qlen,
+                        functools.partial(drain_one, li, (qh + j) & qmask),
+                        lambda s: s, st6,
+                    )
                 (cap, best, slot, uu, vv, tt) = st6
             qh = qh + jnp.minimum(qlen, qd)
 
@@ -627,14 +654,13 @@ def _cluster_kernel(
             return (sp, qh, qt, cap, best, slot, uu, vv, tt, pops)
 
         shape = (srows, 128)
-        row1 = (1, 128)
         init = (
             jnp.int32(1), jnp.int32(0), jnp.int32(0),
             jnp.minimum(jnp.full(shape, _BIG, jnp.float32), TMAX),
-            tuple(jnp.full(row1, _BIG, jnp.float32) for _ in range(srows)),
-            tuple(jnp.full(row1, -1, jnp.int32) for _ in range(srows)),
-            tuple(jnp.zeros(row1, jnp.float32) for _ in range(srows)),
-            tuple(jnp.zeros(row1, jnp.float32) for _ in range(srows)),
+            jnp.full(shape, _BIG, jnp.float32),
+            jnp.full(shape, -1, jnp.int32),
+            jnp.zeros(shape, jnp.float32),
+            jnp.zeros(shape, jnp.float32),
             jnp.zeros(shape, jnp.int32),
             jnp.int32(0),
         )
@@ -650,15 +676,11 @@ def _cluster_kernel(
             st, done = c
             st = step_fn(st)
             if any_hit:
-                done = jnp.min(jnp.concatenate(st[5], axis=0)) >= 0
+                done = jnp.min(st[5]) >= 0
             return (st, done)
 
         st, _ = jax.lax.while_loop(cond, body, (init, jnp.bool_(False)))
-        (sp, qh, qt, cap, best_t_, slot_t_, uu_t_, vv_t_, tt, pops) = st
-        best = jnp.concatenate(best_t_, axis=0)
-        slot = jnp.concatenate(slot_t_, axis=0)
-        uu = jnp.concatenate(uu_t_, axis=0)
-        vv = jnp.concatenate(vv_t_, axis=0)
+        (sp, qh, qt, cap, best, slot, uu, vv, tt, pops) = st
 
         if any_hit:
             # early exit can abandon queued prefetches; balance their sems
@@ -696,15 +718,14 @@ def _cluster_kernel(
 
 
 def _call_cluster(rays_packed, nodes, ablocks, *, any_hit, interpret,
-                  num_tiles, dummy_enc, srows, tcap, qd, precision):
+                  num_tiles, dummy_enc, srows, tcap, qd, probe=""):
     rrows = 8 * srows
     frows = 3 * srows
     irows = 2 * srows
-    br = 4 * tcap + 8
+    br = tcap + 8
     kern = functools.partial(
         _cluster_kernel, any_hit=any_hit, dummy_enc=dummy_enc,
-        srows=srows, tcap=tcap, num_tiles=num_tiles, qd=qd,
-        precision=precision,
+        srows=srows, tcap=tcap, num_tiles=num_tiles, qd=qd, probe=probe,
     )
     hbm = pl.BlockSpec(memory_space=pl.ANY)
     cp = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
@@ -725,7 +746,7 @@ def _call_cluster(rays_packed, nodes, ablocks, *, any_hit, interpret,
             pltpu.SMEM((1, KSTACK + 1), jnp.int32),      # + sacrificial
             pltpu.SMEM((1, QCAP + 1), jnp.int32),        # ring + sacrificial
             pltpu.VMEM(nodes.shape, jnp.float32),        # upper tree
-            pltpu.VMEM((QCAP * br, 128), jnp.float32),   # A-block landings
+            pltpu.VMEM((QCAP * br, 128), jnp.float32),   # field-slab landings
             # 0 nodes; 2+pb ray-in; 4+pb f-out; 6+pb i-out; 8+slot qland
             pltpu.SemaphoreType.DMA((8 + QCAP,)),
         ],
@@ -752,27 +773,26 @@ def cast_rays_cluster(
     interpret: bool | None = None,
     srows: int = CLUSTER_SROWS,
     qd: int = CLUSTER_QD,
-    precision: str = "highest",
+    probe: str = "",
 ) -> tuple[Hits, RayStats, jnp.ndarray]:
-    """Closest-hit / any-hit cast through the MXU cluster kernel.
+    """Closest-hit / any-hit cast through the dense cluster kernel.
 
     Single jitted computation end-to-end (one device dispatch per cast).
-    ``precision`` selects the MXU f32 emulation mode for the A @ P
-    contraction: "highest" (bf16x6 passes, ~1-2 ulp of f32 — the parity
-    mode) or "default".  Returns (hits, stats, occluded).
+    Exact f32 pair math (same error class as the sequential oracle).
+    Returns (hits, stats, occluded).
     """
     if interpret is None:
         interpret = not _on_tpu()
     return _cast_rays_cluster_jit(
         rays, cs, query_mask=int(query_mask), any_hit=any_hit,
-        interpret=interpret, srows=srows, qd=qd, precision=precision,
+        interpret=interpret, srows=srows, qd=qd, probe=probe,
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("query_mask", "any_hit", "interpret", "srows", "qd",
-                     "precision"),
+    static_argnames=("query_mask", "any_hit", "interpret", "srows",
+                     "qd", "probe"),
 )
 def _cast_rays_cluster_jit(
     rays: Rays,
@@ -783,7 +803,7 @@ def _cast_rays_cluster_jit(
     interpret: bool,
     srows: int,
     qd: int,
-    precision: str,
+    probe: str,
 ) -> tuple[Hits, RayStats, jnp.ndarray]:
     n = rays.count
     step = srows * 128
@@ -817,13 +837,11 @@ def _cast_rays_cluster_jit(
     if query_mask != -1:
         ablocks = _mask_ablocks(cs, query_mask)
 
-    prec = (jax.lax.Precision.HIGHEST if precision == "highest"
-            else jax.lax.Precision.DEFAULT)
     fout, iout, pops_tot = _call_cluster(
         packed, cs.nodes, ablocks,
         any_hit=any_hit, interpret=interpret, num_tiles=num_tiles,
         dummy_enc=cs.dummy_enc, srows=srows, tcap=cs.tcap, qd=qd,
-        precision=prec,
+        probe=probe,
     )
     f4 = fout.reshape(num_tiles, 3, srows * 128)
     i4 = iout.reshape(num_tiles, 2, srows * 128)

@@ -21,6 +21,12 @@ from ..accel.frontier import (
     cast_rays_frontier,
 )
 from ..accel.traverse import cast_rays_bvh
+from ..kernels.cluster import (
+    ClusterScene,
+    build_cluster_scene,
+    cast_rays_cluster,
+    refresh_cluster_scene,
+)
 from ..kernels.traverse_pallas import cast_rays_wide
 from ..kernels.wide import (WideScene, build_wide8_scene, build_wide_scene, refresh_wide_scene)
 from ..core.brute import any_hit_brute, cast_rays_brute
@@ -46,9 +52,11 @@ class RayScene:
     tris: Triangles
     bvh: BVH
     wide: WideScene | None = None
+    cluster: ClusterScene | None = None
     use_bvh: bool = True       # validation switch (ray_scene.h:59)
-    # "pallas" | "frontier" | "frontier_q" (quantized CWBVH-style boxes)
-    # | "jnp" | "brute"
+    # "pallas" (packet megakernel) | "cluster" (dense-phase cluster
+    # kernel, kernels/cluster.py) | "frontier" | "frontier_q" (quantized
+    # CWBVH-style boxes) | "jnp" | "brute"
     backend: str = "pallas"
     _frontier: FrontierScene | None = None
     _frontier_q: FrontierScene | None = None
@@ -100,6 +108,11 @@ class RayScene:
                 rays, self._frontier_for_backend(), self.tris, int(query_mask)
             )
             return hits, stats
+        if self.backend == "cluster" and self.cluster is not None:
+            hits, stats, _ = cast_rays_cluster(
+                rays, self.cluster, int(query_mask)
+            )
+            return hits, stats
         if self.backend == "pallas" and self.wide is not None:
             hits, stats, _ = cast_rays_wide(
                 rays, self.wide, int(query_mask), srows=self._srows()
@@ -116,6 +129,11 @@ class RayScene:
             _, _, occluded = cast_rays_frontier(
                 rays, self._frontier_for_backend(), self.tris,
                 int(query_mask), any_hit=True,
+            )
+            return occluded
+        if self.backend == "cluster" and self.cluster is not None:
+            _, _, occluded = cast_rays_cluster(
+                rays, self.cluster, int(query_mask), any_hit=True
             )
             return occluded
         if self.backend == "pallas" and self.wide is not None:
@@ -138,8 +156,8 @@ class RayScene:
         device computation (no host round trip; scene_tlas.h:180-196 is the
         reference's O(N) refit this replaces).
         """
-        tris, bvh, wide = _refit_jit(
-            self.bvh, self.wide, self.tris,
+        tris, bvh, wide, cluster = _refit_jit(
+            self.bvh, self.wide, self.cluster, self.tris,
             jnp.asarray(v0, jnp.float32), jnp.asarray(v1, jnp.float32),
             jnp.asarray(v2, jnp.float32),
         )
@@ -147,13 +165,13 @@ class RayScene:
         # pre-refit boxes/triangles and would silently serve stale
         # geometry (same bug class as the TLAS _two_level cache).
         return dataclasses.replace(
-            self, tris=tris, bvh=bvh, wide=wide,
+            self, tris=tris, bvh=bvh, wide=wide, cluster=cluster,
             _frontier=None, _frontier_q=None,
         )
 
 
 @jax.jit
-def _refit_jit(bvh, wide, old_tris, v0, v1, v2):
+def _refit_jit(bvh, wide, cluster, old_tris, v0, v1, v2):
     perm = bvh.tri_order
     tris = make_triangles(
         v0[perm], v1[perm], v2[perm],
@@ -162,7 +180,9 @@ def _refit_jit(bvh, wide, old_tris, v0, v1, v2):
     tmin, tmax = aabb_of_triangles(tris.v0, tris.v1, tris.v2)
     bvh2 = refit_bvh(bvh, tmin, tmax)
     wide2 = refresh_wide_scene(wide, bvh2, tris) if wide is not None else None
-    return tris, bvh2, wide2
+    cl2 = (refresh_cluster_scene(cluster, bvh2, tris)
+           if cluster is not None else None)
+    return tris, bvh2, wide2, cl2
 
 
 def build_scene(v0, v1, v2, layers=None, prim_id=None, use_bvh=True,
@@ -205,7 +225,13 @@ def build_scene(v0, v1, v2, layers=None, prim_id=None, use_bvh=True,
         prim_id=jnp.asarray(prim_id[perm]), layers=jnp.asarray(layers[perm]),
     )
     wide = None
-    if backend == "pallas":
+    cluster = None
+    if backend == "cluster":
+        cluster = build_cluster_scene(
+            bvh, tris,
+            _np=(pv0, e1, e2, nrm, prim_id[perm], layers[perm]),
+        )
+    elif backend == "pallas":
         builder = build_wide8_scene if branching == 8 else build_wide_scene
         fit = _wide_vmem_fit(bvh, branching)
         host = (pv0, e1, e2, nrm, prim_id[perm], layers[perm])
@@ -221,8 +247,8 @@ def build_scene(v0, v1, v2, layers=None, prim_id=None, use_bvh=True,
             # Very large scenes: both arrays stream from HBM per pop.
             wide = builder(bvh, tris, _np=host, stream_leaves=True,
                            stream_nodes=True)
-    return RayScene(tris=tris, bvh=bvh, wide=wide, use_bvh=use_bvh,
-                    backend=backend)
+    return RayScene(tris=tris, bvh=bvh, wide=wide, cluster=cluster,
+                    use_bvh=use_bvh, backend=backend)
 
 
 # The kernel needs scene arrays VMEM-resident plus ray tiles and headroom.

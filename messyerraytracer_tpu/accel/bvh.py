@@ -150,12 +150,14 @@ def _finalize_bvh(node_min, node_max, left_first, count, depth, axis,
     return b
 
 
-def build_bvh_over_aabbs(tri_min, tri_max, centroid) -> BVH:
+def build_bvh_over_aabbs(tri_min, tri_max, centroid,
+                         max_leaf_size: int = MAX_LEAF_SIZE) -> BVH:
     """Binned-SAH build over arbitrary primitive AABBs + centroids.
 
     Used for triangles (``build_bvh``) and for the TLAS over instance
     world-space AABBs (the analogue of TinyBVH's native TLAS build,
-    scene_tlas.h:140-176).
+    scene_tlas.h:140-176).  ``max_leaf_size=1`` yields singleton leaves
+    (the cluster-TLAS upper tree needs one enc entry per primitive).
     """
     tri_min = np.asarray(tri_min, np.float32)
     tri_max = np.asarray(tri_max, np.float32)
@@ -193,7 +195,7 @@ def build_bvh_over_aabbs(tri_min, tri_max, centroid) -> BVH:
         depth_arr[node] = depth
         cnt = end - start
 
-        if cnt <= MAX_LEAF_SIZE:
+        if cnt <= max_leaf_size:
             left_first[node] = start
             count[node] = cnt
             return node

@@ -72,7 +72,9 @@ from ..core.types import (
 from ..utils.struct import pytree_dataclass
 from .wide import NODE8_STRIDE, NODES8_PER_ROW, WIDE8_CAP, _collapse8, _pack_idx
 
-TCAP_DEFAULT = 64       # triangles per cluster (A-matrix column count / 4)
+TCAP_DEFAULT = 64       # triangles per cluster (field-slab row count - 8)
+LOCAL_BITS = 13         # instanced enc payload: inst << 13 | local cluster
+LOCAL_MASK = (1 << LOCAL_BITS) - 1   # => <= 8192 clusters/mesh, <= 1024 inst
 QCAP = 16               # drain-queue ring depth = in-flight prefetch slots
 KSTACK = 64             # upper-tree DFS stack depth
 MAX_ITERS = 1 << 20     # runaway guard (bvh_traverse.comp.glsl:158)
@@ -359,14 +361,26 @@ def _mask_ablocks(cs: ClusterScene, query_mask: int) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 def _cluster_kernel(
-    rays_hbm,                   # (TILES*8*srows, 128) f32, field-major/tile
-    nodes_hbm, ablk_hbm,        # upper tree (VMEM-staged) + A blocks (HBM)
-    fout_hbm, iout_hbm,         # (TILES*3*srows,128) f32, (TILES*2*srows,128) i32
-    pops_out,                   # (1, 1) i32 SMEM
-    ray_buf, fbuf, ibuf, stack_ref, queue_ref, nodes_ref, qland, sems,
-    *, any_hit: bool, dummy_enc: int, srows: int, tcap: int,
-    num_tiles: int, qd: int, probe: str = "",
+    *refs,
+    any_hit: bool, dummy_enc: int, srows: int, tcap: int,
+    num_tiles: int, qd: int, n_inst: int = 0, probe: str = "",
 ):
+    # refs (in order): rays_hbm (TILES*8*srows,128) f32 field-major/tile;
+    # nodes_hbm upper tree (VMEM-staged); ablk_hbm field slabs (HBM);
+    # [instanced: islab (1,Ni) i32 slab row base per instance, iinv
+    # (Ni,16) f32 inverse transforms, both SMEM]; outputs fout/iout/pops;
+    # scratch ray_buf/fbuf/ibuf/stack/queue/nodes/qland/sems.
+    if n_inst:
+        (rays_hbm, nodes_hbm, ablk_hbm, islab, iinv,
+         fout_hbm, iout_hbm, pops_out,
+         ray_buf, fbuf, ibuf, stack_ref, queue_ref, nodes_ref, qland,
+         sems) = refs
+    else:
+        (rays_hbm, nodes_hbm, ablk_hbm,
+         fout_hbm, iout_hbm, pops_out,
+         ray_buf, fbuf, ibuf, stack_ref, queue_ref, nodes_ref, qland,
+         sems) = refs
+        islab = iinv = None
     """Packet traversal of the (small) upper tree + dense MXU cluster
     drains, single invocation over all ray tiles.
 
@@ -404,9 +418,17 @@ def _cluster_kernel(
         )
 
     def _ablk_copy(c, slot):
-        # one contiguous 16*BR*4-byte slab per cluster
+        # one contiguous 512*BR-byte slab per cluster.  Instanced mode:
+        # c is a gid (inst << LOCAL_BITS | local); slabs are per-MESH and
+        # shared by every instance of the mesh (memory ~ meshes, the
+        # SceneTLAS contract, scene_tlas.h:203-251)
+        if n_inst:
+            srow = (islab[0, jax.lax.shift_right_logical(c, LOCAL_BITS)]
+                    + (c & LOCAL_MASK) * br)
+        else:
+            srow = c * br
         return pltpu.make_async_copy(
-            ablk_hbm.at[pl.ds(c * br, br), :],
+            ablk_hbm.at[pl.ds(srow, br), :],
             qland.at[pl.ds(slot * br, br), :], sems.at[8 + slot],
         )
 
@@ -465,6 +487,12 @@ def _cluster_kernel(
             mrot = qland[pl.ds(slot_idx * br + tcap, 1), :]
             ax, ay, az = mrot[0, 0], mrot[0, 1], mrot[0, 2]
             cnt = mrot[0, 3]
+            if n_inst:
+                # object-space ray transform per drain: M^-1 = [R|t] row-
+                # major from SMEM; direction NOT renormalized so t stays
+                # world-parameterized (blas_instance.h:48-59)
+                inst = jax.lax.shift_right_logical(li, LOCAL_BITS)
+                mm = [iinv[inst, j] for j in range(12)]
 
             # (T,1) field columns; every bilinear form below is a lane-
             # broadcast (T,1)x(1,128) op over the full pair grid
@@ -491,11 +519,26 @@ def _cluster_kernel(
                 dxr = D[0][i:i + 1, :]
                 dyr = D[1][i:i + 1, :]
                 dzr = D[2][i:i + 1, :]
+                if n_inst:
+                    tx = mm[0] * oxr + mm[1] * oyr + mm[2] * ozr + mm[3]
+                    ty = mm[4] * oxr + mm[5] * oyr + mm[6] * ozr + mm[7]
+                    tz = mm[8] * oxr + mm[9] * oyr + mm[10] * ozr + mm[11]
+                    ddx = mm[0] * dxr + mm[1] * dyr + mm[2] * dzr
+                    ddy = mm[4] * dxr + mm[5] * dyr + mm[6] * dzr
+                    ddz = mm[8] * dxr + mm[9] * dyr + mm[10] * dzr
+                    oxr, oyr, ozr = tx, ty, tz
+                    dxr, dyr, dzr = ddx, ddy, ddz
+                    # |d'| != 1 under scaling: closest-approach tau needs
+                    # /|d'|^2 (any tau is CORRECT — t = tau + t_local is
+                    # an identity — this keeps conditioning optimal)
+                    invdd = 1.0 / (dxr * dxr + dyr * dyr + dzr * dzr)
+                else:
+                    invdd = 1.0  # unit directions
                 # re-anchor at closest approach to the cluster anchor:
-                # tau = d.(a-o); o' = o + tau d - a  (keeps every matmul
+                # tau = d.(a-o)/|d|^2; o' = o + tau d - a  (keeps every
                 # operand O(cluster size) — see module docstring)
                 tau = (dxr * (ax - oxr) + dyr * (ay - oyr)
-                       + dzr * (az - ozr))
+                       + dzr * (az - ozr)) * invdd
                 ocx = oxr + tau * dxr - ax
                 ocy = oyr + tau * dyr - ay
                 ocz = ozr + tau * dzr - az
@@ -718,21 +761,27 @@ def _cluster_kernel(
 
 
 def _call_cluster(rays_packed, nodes, ablocks, *, any_hit, interpret,
-                  num_tiles, dummy_enc, srows, tcap, qd, probe=""):
+                  num_tiles, dummy_enc, srows, tcap, qd, probe="",
+                  islab=None, iinv=None):
     rrows = 8 * srows
     frows = 3 * srows
     irows = 2 * srows
     br = tcap + 8
+    n_inst = 0 if islab is None else int(islab.shape[1])
     kern = functools.partial(
         _cluster_kernel, any_hit=any_hit, dummy_enc=dummy_enc,
         srows=srows, tcap=tcap, num_tiles=num_tiles, qd=qd, probe=probe,
+        n_inst=n_inst,
     )
     hbm = pl.BlockSpec(memory_space=pl.ANY)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    extra_in = [smem, smem] if n_inst else []
+    extra_args = [islab, iinv] if n_inst else []
     cp = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
     return pl.pallas_call(
         kern,
         compiler_params=cp,
-        in_specs=[hbm, hbm, hbm],
+        in_specs=[hbm, hbm, hbm] + extra_in,
         out_specs=(hbm, hbm, pl.BlockSpec(memory_space=pltpu.SMEM)),
         out_shape=(
             jax.ShapeDtypeStruct((num_tiles * frows, 128), jnp.float32),
@@ -751,7 +800,7 @@ def _call_cluster(rays_packed, nodes, ablocks, *, any_hit, interpret,
             pltpu.SemaphoreType.DMA((8 + QCAP,)),
         ],
         interpret=interpret,
-    )(rays_packed, nodes, ablocks)
+    )(rays_packed, nodes, ablocks, *extra_args)
 
 
 def _on_tpu() -> bool:

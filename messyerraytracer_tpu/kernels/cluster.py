@@ -28,7 +28,7 @@ module replaces the *lower* tree levels with dense MXU phases:
     a (tau = d.(a - o), o' = o + tau d - a) and triangles are built with
     v0' = v0 - a, so all matmul operands are O(cluster size) and the
     recovered t = tau + t_local keeps ~1e-7 relative accuracy (verified
-    against float64 ground truth; better than sequential f32 MT on far
+    against f64 ground truth; better than sequential f32 MT on far
     clusters).
   * Cluster A-blocks are NOT VMEM-resident: each is DMA'd from HBM when
     its cluster is pushed onto the drain queue — the queue doubles as a
@@ -144,10 +144,14 @@ class ClusterScene:
                aligned as Mosaic DMA requires).  Cluster c, row k (tri
                k), lanes: [0:3]=-n, [3:6]=v0'xe2, [6:9]=e2,
                [9:12]=-(v0'xe1), [12:15]=-e1, [15]=-v0'.n  (v0' = v0
-               relative to the cluster anchor; n = e1 x e2).  Row T:
-               lanes 0:3 = anchor, lane 3 = real-tri count (f32).
-               Rows T+1..BR-1 zero.  The last slab is the all-zero dummy
-               cluster.
+               relative to the cluster anchor; n = e1 x e2); lanes
+               16/17/18 = prim id / layers lo 16 bits / layers hi 16
+               bits as EXACT float integers (selected in kernel so the
+               cast epilogue needs no XLA gathers).  Row T: lanes 0:3 =
+               anchor, lane 3 = real-tri count (f32), lanes 4:10 =
+               cluster AABB.  Rows T+1..T+6: AABB min/max pre-broadcast
+               across lanes (vector operands for the drain row cull).
+               The last slab is the all-zero dummy cluster.
     slot_*     (C*T,) hit metadata per padded slot (slot = c*T + k).
     node_idx / node_const — gather tables for device refresh after refit
                (same contract as kernels/wide.py).
@@ -250,6 +254,9 @@ def build_cluster_scene(bvh: BVH, tris, _np=None,
         lay = np.asarray(tris.layers)
     t = int(pid.shape[0])
 
+    if pid.max(initial=0) >= (1 << 24):
+        raise ValueError("prim ids >= 2^24 not exactly representable in "
+                         "the cluster slab metadata lanes")
     roots, cfirst, ccnt = cluster_cut(lf, cnt, tcap)
     if ccnt.max(initial=0) > tcap:
         raise ValueError("cluster_cut produced an oversized cluster")
@@ -290,22 +297,34 @@ def build_cluster_scene(bvh: BVH, tris, _np=None,
     return refresh_cluster_scene(skeleton, bvh, tris)
 
 
-def _arrange_ablocks(rows16, anchors, counts, tcap):
+def _arrange_ablocks(rows16, anchors, counts, tcap, cmin=None, cmax=None):
     """Arrange per-cluster triangle fields into the contiguous slab layout.
 
     rows16:  (C, T, 16) f32 — per-triangle field rows per cluster
     anchors: (C, 3) f32, counts: (C,) f32
+    cmin/cmax: (C, 3) f32 cluster AABB (meta lanes 4:7 / 7:10)
     returns ((C+1)*BR, 128) f32 with a trailing all-zero dummy cluster.
     """
     c = rows16.shape[0]
     br = tcap + 8
+    nf = rows16.shape[2]
     body = jnp.concatenate(
-        [rows16, jnp.zeros((c, tcap, 112), jnp.float32)], axis=2
+        [rows16, jnp.zeros((c, tcap, 128 - nf), jnp.float32)], axis=2
     )
     meta = jnp.zeros((c, 1, 128), jnp.float32)
     meta = meta.at[:, 0, 0:3].set(anchors).at[:, 0, 3].set(counts)
-    zpad = jnp.zeros((c, 7, 128), jnp.float32)
-    slabs = jnp.concatenate([body, meta, zpad], axis=1)    # (C, BR, 128)
+    if cmin is None:
+        bc = jnp.ones((c, 6, 128), jnp.float32)    # mask-factor identity
+    else:
+        meta = meta.at[:, 0, 4:7].set(cmin).at[:, 0, 7:10].set(cmax)
+        # rows T+1..T+6: cluster AABB min/max pre-broadcast across lanes
+        # so the drain's row-cull slab test reads (1,128) vector operands
+        # with zero scalar extracts
+        bc = jnp.broadcast_to(
+            jnp.concatenate([cmin, cmax], axis=1)[:, :, None], (c, 6, 128)
+        )
+    zpad = jnp.zeros((c, 1, 128), jnp.float32)
+    slabs = jnp.concatenate([body, meta, bc, zpad], axis=1)  # (C, BR, 128)
     slabs = slabs.reshape(c * br, 128)
     return jnp.concatenate(
         [slabs, jnp.zeros((br, 128), jnp.float32)]         # dummy cluster
@@ -329,13 +348,27 @@ def refresh_cluster_scene(cs: ClusterScene, bvh: BVH, tris) -> ClusterScene:
     e2 = jnp.where(vmask, tris.edge2[cs.slot_map], 0.0).reshape(c, tcap, 3)
     v0c = v0 - anchors[:, None, :]
     n = jnp.cross(e1, e2)
+    # Metadata lanes as EXACT float integers (bitcast storage is unsafe:
+    # XLA flushes subnormals / canonicalizes NaNs on some paths).  prim
+    # ids are exact in f32 up to 2^24 (guarded in build_cluster_scene);
+    # 32-bit layer masks split into two 16-bit halves.
+    pid_f = jnp.maximum(cs.slot_prim_id, 0).astype(jnp.float32)
+    lay = cs.slot_layers.astype(jnp.uint32)
+    lay_lo = (lay & 0xFFFF).astype(jnp.float32)
+    lay_hi = jax.lax.shift_right_logical(
+        lay, jnp.uint32(16)).astype(jnp.float32)
     rows16 = jnp.concatenate(
         [-n, jnp.cross(v0c, e2), e2, -jnp.cross(v0c, e1), -e1,
-         -jnp.sum(v0c * n, axis=-1, keepdims=True)],
+         -jnp.sum(v0c * n, axis=-1, keepdims=True),
+         pid_f.reshape(c, tcap, 1), lay_lo.reshape(c, tcap, 1),
+         lay_hi.reshape(c, tcap, 1)],   # lanes 16..18
         axis=-1,
-    )  # (C, T, 16)
+    )  # (C, T, 19)
     counts = jnp.sum(cs.cvalid.reshape(c, tcap), axis=1).astype(jnp.float32)
-    ablocks = _arrange_ablocks(rows16, anchors, counts, tcap)
+    ablocks = _arrange_ablocks(
+        rows16, anchors, counts, tcap,
+        cmin=bvh.aabb_min[cs.croots], cmax=bvh.aabb_max[cs.croots],
+    )
 
     slot_nrm = jnp.where(vmask, tris.normal[cs.slot_map], 0.0)
     return cs.replace(nodes=nodes, ablocks=ablocks, slot_normal=slot_nrm)
@@ -347,12 +380,16 @@ def _mask_ablocks(cs: ClusterScene, query_mask: int) -> jnp.ndarray:
     (det = 0) — filter-during-traversal semantics (ray_scene.h:124)."""
     tcap, c = cs.tcap, cs.num_clusters
     ok = ((cs.slot_layers & query_mask) != 0).reshape(c, tcap)
-    fac = jnp.broadcast_to(
-        ok.astype(jnp.float32)[:, :, None], (c, tcap, 16)
+    fac = jnp.concatenate(
+        [jnp.broadcast_to(ok.astype(jnp.float32)[:, :, None],
+                          (c, tcap, 16)),
+         jnp.ones((c, tcap, 3), jnp.float32)],   # pid/lay lanes keep
+        axis=2,
     )
     ones = jnp.ones((c,), jnp.float32)
     anchors1 = jnp.ones((c, 3), jnp.float32)
-    factor = _arrange_ablocks(fac, anchors1, ones, tcap)
+    factor = _arrange_ablocks(fac, anchors1, ones, tcap,
+                              cmin=anchors1, cmax=anchors1)
     return cs.ablocks * factor
 
 
@@ -363,7 +400,8 @@ def _mask_ablocks(cs: ClusterScene, query_mask: int) -> jnp.ndarray:
 def _cluster_kernel(
     *refs,
     any_hit: bool, dummy_enc: int, srows: int, tcap: int,
-    num_tiles: int, qd: int, n_inst: int = 0, probe: str = "",
+    num_tiles: int, qd: int, inner: int = 1, n_inst: int = 0,
+    probe: str = "",
 ):
     # refs (in order): rays_hbm (TILES*8*srows,128) f32 field-major/tile;
     # nodes_hbm upper tree (VMEM-staged); ablk_hbm field slabs (HBM);
@@ -371,16 +409,16 @@ def _cluster_kernel(
     # (Ni,16) f32 inverse transforms, both SMEM]; outputs fout/iout/pops;
     # scratch ray_buf/fbuf/ibuf/stack/queue/nodes/qland/sems.
     if n_inst:
-        (rays_hbm, nodes_hbm, ablk_hbm, islab, iinv,
+        (rays_hbm, nodes_hbm, ablk_hbm, islab, iinv, ifwd,
          fout_hbm, iout_hbm, pops_out,
          ray_buf, fbuf, ibuf, stack_ref, queue_ref, nodes_ref, qland,
-         sems) = refs
+         colbc_ref, sems) = refs
     else:
         (rays_hbm, nodes_hbm, ablk_hbm,
          fout_hbm, iout_hbm, pops_out,
          ray_buf, fbuf, ibuf, stack_ref, queue_ref, nodes_ref, qland,
-         sems) = refs
-        islab = iinv = None
+         colbc_ref, sems) = refs
+        islab = iinv = ifwd = None
     """Packet traversal of the (small) upper tree + dense MXU cluster
     drains, single invocation over all ray tiles.
 
@@ -393,8 +431,8 @@ def _cluster_kernel(
     npr = NODES8_PER_ROW
     nstride = NODE8_STRIDE
     rrows = 8 * srows
-    frows = 3 * srows
-    irows = 2 * srows
+    frows = 6 * srows    # t, u, v, -nx, -ny, -nz
+    irows = 4 * srows    # prim_id, layers, tri_tests, instance
     br = tcap + 8
     dummy_node = dummy_enc >> 1
     qmask = QCAP - 1
@@ -466,18 +504,43 @@ def _cluster_kernel(
             """Dense intersection of the whole tile vs cluster ``li``
             whose field slab was prefetched into queue slot ``slot_idx``.
 
-            Carried state stays as six (srows,128) arrays — the loop/cond
-            machinery repackages every carried leaf per iteration, and 64
-            small row arrays measured ~5x the per-iteration overhead of 6
-            big ones.  Rows are read by slicing and rebuilt by one
-            concatenate per quantity at drain end (Mosaic has no
-            dynamic_update_slice on values)."""
-            cap, best, slot, uu, vv, tt = st
-            best = [best[i:i + 1, :] for i in range(srows)]
-            slot = [slot[i:i + 1, :] for i in range(srows)]
-            uu = [uu[i:i + 1, :] for i in range(srows)]
-            vv = [vv[i:i + 1, :] for i in range(srows)]
-            if real is None:
+            Carried per-ray state stays as (srows,128) arrays — the
+            loop/cond machinery repackages every carried leaf per
+            iteration, and many small row arrays measured ~5x the
+            per-iteration overhead of few big ones.  Rows are read by
+            slicing and rebuilt by one concatenate per quantity at drain
+            end (Mosaic has no dynamic_update_slice on values).
+
+            All hit metadata (prim id, layer bits, unnormalized normal,
+            instance id) is selected IN KERNEL by single-hot sum-selects
+            over the winning triangle row, so the cast needs NO per-ray
+            XLA gathers afterwards (those gathers measured ~30 ms of the
+            ~49 ms 99K-tri frame — the dominant cost of the whole cast).
+            """
+            (cap, best, uu, vv, tt, nx, ny, nz, pid, lay, ii) = st
+
+            def rows(a):
+                return [a[i:i + 1, :] for i in range(srows)]
+
+            best, uu, vv, tt = rows(best), rows(uu), rows(vv), rows(tt)
+            nx, ny, nz = rows(nx), rows(ny), rows(nz)
+            pid, lay, ii = rows(pid), rows(lay), rows(ii)
+
+            def repack(capv):
+                def cc(xs):
+                    return jnp.concatenate(xs, axis=0)
+                return (capv, cc(best), cc(uu), cc(vv), cc(tt),
+                        cc(nx), cc(ny), cc(nz), cc(pid), cc(lay), cc(ii))
+
+            if probe == "notouch":
+                # timing probe: skip the DMA wait AND the slab read
+                # (garbage results; isolates queue/cond/loop overhead.
+                # The unbalanced semaphores make this probe single-use.)
+                tt = [x + 1 for x in tt]
+                return repack(cap)
+            if probe in ("nodma", "nopush", "spin", "noqueue", "noout"):
+                pass  # timing probe: DMA never started (garbage slab data)
+            elif real is None:
                 _ablk_copy(li, slot_idx).wait()
             else:
                 @pl.when(real)
@@ -487,136 +550,239 @@ def _cluster_kernel(
             mrot = qland[pl.ds(slot_idx * br + tcap, 1), :]
             ax, ay, az = mrot[0, 0], mrot[0, 1], mrot[0, 2]
             cnt = mrot[0, 3]
+
+            if probe == "nodrain":
+                tt = [x + cnt.astype(jnp.int32) for x in tt]
+                return repack(cap)
+
             if n_inst:
-                # object-space ray transform per drain: M^-1 = [R|t] row-
-                # major from SMEM; direction NOT renormalized so t stays
+                # object-space ray transform ONCE per drain over the
+                # full (srows,128) tile: M^-1 = [R|t] row-major from
+                # SMEM; direction NOT renormalized so t stays
                 # world-parameterized (blas_instance.h:48-59)
                 inst = jax.lax.shift_right_logical(li, LOCAL_BITS)
                 mm = [iinv[inst, j] for j in range(12)]
+                OO = (mm[0] * O[0] + mm[1] * O[1] + mm[2] * O[2] + mm[3],
+                      mm[4] * O[0] + mm[5] * O[1] + mm[6] * O[2] + mm[7],
+                      mm[8] * O[0] + mm[9] * O[1] + mm[10] * O[2] + mm[11])
+                DD = (mm[0] * D[0] + mm[1] * D[1] + mm[2] * D[2],
+                      mm[4] * D[0] + mm[5] * D[1] + mm[6] * D[2],
+                      mm[8] * D[0] + mm[9] * D[1] + mm[10] * D[2])
+                DINV = tuple(safe_inv(x) for x in DD)
+                # |d'| != 1 under scaling: closest-approach tau needs
+                # /|d'|^2 (any tau is CORRECT — t = tau + t_local is an
+                # identity — this keeps conditioning optimal)
+                IDD = 1.0 / (DD[0] * DD[0] + DD[1] * DD[1]
+                             + DD[2] * DD[2])
+            else:
+                OO, DD, DINV = O, D, INV
+                IDD = None  # unit directions
+
+            # Per-ray-row cull: one (srows,128) slab test of the cluster
+            # AABB (pre-broadcast rows T+1..T+6 of the slab — (1,128)
+            # vector operands, no scalar extracts) + ONE packed
+            # vector->scalar reduction -> a row bitmask; row groups with
+            # no potential hit skip their dense phases below (rays in a
+            # coherent tile are spatially compact per row, so most
+            # clusters touch few rows).
+            bcr = slot_idx * br + tcap + 1
+            cbx = qland[pl.ds(bcr, 1), :]
+            cby = qland[pl.ds(bcr + 1, 1), :]
+            cbz = qland[pl.ds(bcr + 2, 1), :]
+            cBx = qland[pl.ds(bcr + 3, 1), :]
+            cBy = qland[pl.ds(bcr + 4, 1), :]
+            cBz = qland[pl.ds(bcr + 5, 1), :]
+            t1 = (cbx - OO[0]) * DINV[0]
+            t2 = (cBx - OO[0]) * DINV[0]
+            rn = jnp.minimum(t1, t2)
+            rf = jnp.maximum(t1, t2)
+            t1 = (cby - OO[1]) * DINV[1]
+            t2 = (cBy - OO[1]) * DINV[1]
+            rn = jnp.maximum(rn, jnp.minimum(t1, t2))
+            rf = jnp.minimum(rf, jnp.maximum(t1, t2))
+            t1 = (cbz - OO[2]) * DINV[2]
+            t2 = (cBz - OO[2]) * DINV[2]
+            rn = jnp.maximum(rn, jnp.minimum(t1, t2))
+            rf = jnp.minimum(rf, jnp.maximum(t1, t2))
+            # cap is world-t; rn/rf are world-parameterized too (the
+            # object direction is NOT renormalized)
+            rhit = (rf >= jnp.maximum(rn, 0.0)) & (rn <= cap)
+            rowany = jnp.max(rhit.astype(jnp.int32), axis=1,
+                             keepdims=True)               # (srows,1)
+            wbit = jax.lax.broadcasted_iota(
+                jnp.int32, (srows, 1), 0)
+            rowmask = jnp.sum(rowany << wbit)             # ONE reduction
 
             # (T,1) field columns; every bilinear form below is a lane-
             # broadcast (T,1)x(1,128) op over the full pair grid
             def colf(c):
                 return ab[:, c:c + 1]
 
-            if probe == "nodrain":
-                tt = tt + cnt.astype(jnp.int32)
-                return (cap, jnp.concatenate(best, axis=0),
-                        jnp.concatenate(slot, axis=0),
-                        jnp.concatenate(uu, axis=0),
-                        jnp.concatenate(vv, axis=0), tt)
             nnx, nny, nnz = colf(0), colf(1), colf(2)     # -n
             c2x, c2y, c2z = colf(3), colf(4), colf(5)     # v0' x e2
             e2x, e2y, e2z = colf(6), colf(7), colf(8)     # e2
             c1x, c1y, c1z = colf(9), colf(10), colf(11)   # -(v0' x e1)
             e1x, e1y, e1z = colf(12), colf(13), colf(14)  # -e1
             tw = colf(15)                                 # -v0'.n
+            ks = jax.lax.broadcasted_iota(jnp.int32, (tcap, 128), 0)
 
-            for i in range(srows):
-                oxr = O[0][i:i + 1, :]
-                oyr = O[1][i:i + 1, :]
-                ozr = O[2][i:i + 1, :]
-                dxr = D[0][i:i + 1, :]
-                dyr = D[1][i:i + 1, :]
-                dzr = D[2][i:i + 1, :]
-                if n_inst:
-                    tx = mm[0] * oxr + mm[1] * oyr + mm[2] * ozr + mm[3]
-                    ty = mm[4] * oxr + mm[5] * oyr + mm[6] * ozr + mm[7]
-                    tz = mm[8] * oxr + mm[9] * oyr + mm[10] * ozr + mm[11]
-                    ddx = mm[0] * dxr + mm[1] * dyr + mm[2] * dzr
-                    ddy = mm[4] * dxr + mm[5] * dyr + mm[6] * dzr
-                    ddz = mm[8] * dxr + mm[9] * dyr + mm[10] * dzr
-                    oxr, oyr, ozr = tx, ty, tz
-                    dxr, dyr, dzr = ddx, ddy, ddz
-                    # |d'| != 1 under scaling: closest-approach tau needs
-                    # /|d'|^2 (any tau is CORRECT — t = tau + t_local is
-                    # an identity — this keeps conditioning optimal)
-                    invdd = 1.0 / (dxr * dxr + dyr * dyr + dzr * dzr)
-                else:
-                    invdd = 1.0  # unit directions
-                # re-anchor at closest approach to the cluster anchor:
-                # tau = d.(a-o)/|d|^2; o' = o + tau d - a  (keeps every
-                # operand O(cluster size) — see module docstring)
-                tau = (dxr * (ax - oxr) + dyr * (ay - oyr)
-                       + dzr * (az - ozr)) * invdd
-                ocx = oxr + tau * dxr - ax
-                ocy = oyr + tau * dyr - ay
-                ocz = ozr + tau * dzr - az
-                mx = ocy * dzr - ocz * dyr
-                my = ocz * dxr - ocx * dzr
-                mz = ocx * dyr - ocy * dxr
-                det = nnx * dxr + nny * dyr + nnz * dzr
-                un = (c2x * dxr + c2y * dyr + c2z * dzr
-                      + e2x * mx + e2y * my + e2z * mz)
-                vn = (c1x * dxr + c1y * dyr + c1z * dzr
-                      + e1x * mx + e1y * my + e1z * mz)
-                # t_num = (o'-v0').n = -(o'.(-n)) - v0'.n
-                tn = -(nnx * ocx + nny * ocy + nnz * ocz) + tw
-                ok = jnp.abs(det) >= MT_DET_EPS
-                idet = 1.0 / jnp.where(ok, det, 1.0)
-                u = un * idet
-                v = vn * idet
-                t = tn * idet + tau
-                bestr = best[i]
-                valid = (
-                    ok
-                    & (u >= 0.0) & (u <= 1.0)
-                    & (v >= 0.0) & (u + v <= 1.0)
-                    & (t >= TMIN[i:i + 1, :]) & (t <= TMAX[i:i + 1, :])
-                    & (t < bestr)
-                )
-                if probe == "noredux":
-                    # fold validity into best so nothing is DCE'd, skip
-                    # the min/index reductions (timing probe only)
-                    best[i] = jnp.minimum(
-                        best[i],
-                        jnp.max(jnp.where(valid, t, _BIG), axis=0,
-                                keepdims=True),
+            def row_phase(i, rst):
+                    (bestr, uur, vvr, ttr, nxr, nyr, nzr, pidr, layr,
+                     iir) = rst
+                    oxr = OO[0][i:i + 1, :]
+                    oyr = OO[1][i:i + 1, :]
+                    ozr = OO[2][i:i + 1, :]
+                    dxr = DD[0][i:i + 1, :]
+                    dyr = DD[1][i:i + 1, :]
+                    dzr = DD[2][i:i + 1, :]
+                    invdd = 1.0 if IDD is None else IDD[i:i + 1, :]
+                    # re-anchor at closest approach to the cluster
+                    # anchor: tau = d.(a-o)/|d|^2; o' = o + tau d - a
+                    # (keeps every operand O(cluster size) — see module
+                    # docstring)
+                    tau = (dxr * (ax - oxr) + dyr * (ay - oyr)
+                           + dzr * (az - ozr)) * invdd
+                    ocx = oxr + tau * dxr - ax
+                    ocy = oyr + tau * dyr - ay
+                    ocz = ozr + tau * dzr - az
+                    mx = ocy * dzr - ocz * dyr
+                    my = ocz * dxr - ocx * dzr
+                    mz = ocx * dyr - ocy * dxr
+                    det = nnx * dxr + nny * dyr + nnz * dzr
+                    un = (c2x * dxr + c2y * dyr + c2z * dzr
+                          + e2x * mx + e2y * my + e2z * mz)
+                    vn = (c1x * dxr + c1y * dyr + c1z * dzr
+                          + e1x * mx + e1y * my + e1z * mz)
+                    # t_num = (o'-v0').n = -(o'.(-n)) - v0'.n
+                    tn = -(nnx * ocx + nny * ocy + nnz * ocz) + tw
+                    ok = jnp.abs(det) >= MT_DET_EPS
+                    idet = 1.0 / jnp.where(ok, det, 1.0)
+                    u = un * idet
+                    v = vn * idet
+                    t = tn * idet + tau
+                    valid = (
+                        ok
+                        & (u >= 0.0) & (u <= 1.0)
+                        & (v >= 0.0) & (u + v <= 1.0)
+                        & (t >= TMIN[i:i + 1, :]) & (t <= TMAX[i:i + 1, :])
+                        & (t < bestr)
                     )
-                    continue
-                score = jnp.where(valid, t, _BIG)
-                tb = jnp.min(score, axis=0, keepdims=True)     # (1,128)
-                better = tb < bestr
-                ks = jax.lax.broadcasted_iota(jnp.int32, (tcap, 128), 0)
-                sel = (score == tb) & valid
-                kb = jnp.min(jnp.where(sel, ks, tcap), axis=0,
-                             keepdims=True)
-                selk = sel & (ks == kb)
-                ub = jnp.max(jnp.where(selk, u, -_BIG), axis=0,
-                             keepdims=True)
-                vb = jnp.max(jnp.where(selk, v, -_BIG), axis=0,
-                             keepdims=True)
-                cand = li * tcap + kb
-                best[i] = jnp.where(better, tb, bestr)
-                slot[i] = jnp.where(better, cand, slot[i])
-                uu[i] = jnp.where(better, ub, uu[i])
-                vv[i] = jnp.where(better, vb, vv[i])
-            tt = tt + cnt.astype(jnp.int32)
-            best = jnp.concatenate(best, axis=0)
-            cap = jnp.minimum(best, TMAX)
-            return (cap, best, jnp.concatenate(slot, axis=0),
-                    jnp.concatenate(uu, axis=0),
-                    jnp.concatenate(vv, axis=0), tt)
+                    if probe == "noredux":
+                        # fold validity into best so nothing is DCE'd,
+                        # skip the min/index reductions (timing probe)
+                        bestr = jnp.minimum(
+                            bestr,
+                            jnp.max(jnp.where(valid, t, _BIG), axis=0,
+                                    keepdims=True),
+                        )
+                        return (bestr, uur, vvr,
+                                ttr + cnt.astype(jnp.int32),
+                                nxr, nyr, nzr, pidr, layr, iir)
+                    score = jnp.where(valid, t, _BIG)
+                    tb = jnp.min(score, axis=0, keepdims=True)  # (1,128)
+                    better = tb < bestr
+                    sel = (score == tb) & valid
+                    kb = jnp.min(jnp.where(sel, ks, tcap), axis=0,
+                                 keepdims=True)
+                    selk = sel & (ks == kb)
+                    ub = jnp.max(jnp.where(selk, u, -_BIG), axis=0,
+                                 keepdims=True)
+                    vb = jnp.max(jnp.where(selk, v, -_BIG), axis=0,
+                                 keepdims=True)
+                    # Single-hot metadata selects: selk has at most
+                    # one true row per lane, so a masked SUM returns the
+                    # winner's value exactly — works for f32 fields and,
+                    # via bitcast, for arbitrary 32-bit ints.
+                    def sel_f(col):
+                        return jnp.sum(jnp.where(selk, col, 0.0), axis=0,
+                                       keepdims=True)
+
+                    nxb = sel_f(nnx)          # -n of winner (unnormalized)
+                    nyb = sel_f(nny)
+                    nzb = sel_f(nnz)
+                    pidb = sel_f(colf(16)).astype(jnp.int32)
+                    layb = (sel_f(colf(17)).astype(jnp.int32)
+                            | (sel_f(colf(18)).astype(jnp.int32) << 16))
+                    if n_inst:
+                        # object->world normal via the inverse-transpose
+                        # basis from SMEM (blas_instance.h:62-70)
+                        fw = [ifwd[inst, j] for j in range(9)]
+                        nxb, nyb, nzb = (
+                            fw[0] * nxb + fw[1] * nyb + fw[2] * nzb,
+                            fw[3] * nxb + fw[4] * nyb + fw[5] * nzb,
+                            fw[6] * nxb + fw[7] * nyb + fw[8] * nzb,
+                        )
+                        iib = jnp.where(better, inst.astype(jnp.int32),
+                                        iir)
+                    else:
+                        iib = iir
+                    return (
+                        jnp.where(better, tb, bestr),
+                        jnp.where(better, ub, uur),
+                        jnp.where(better, vb, vvr),
+                        ttr + cnt.astype(jnp.int32),
+                        jnp.where(better, nxb, nxr),
+                        jnp.where(better, nyb, nyr),
+                        jnp.where(better, nzb, nzr),
+                        jnp.where(better, pidb, pidr),
+                        jnp.where(better, layb, layr),
+                        iib,
+                    )
+
+            # Dense phases in groups of 4 ray rows behind ONE cond each:
+            # per-row conds cost ~as much executed-false as taken (the
+            # branch+merge dominates), so coarser groups keep the skip
+            # benefit where whole spans of the tile miss the cluster.
+            GR = 4
+            NF = 10
+            for g0 in range(0, srows, GR):
+                hi_r = min(g0 + GR, srows)
+                gmask = (1 << (hi_r - g0)) - 1
+                gbit = (jax.lax.shift_right_logical(rowmask, g0)
+                        & gmask) > 0
+
+                def do_grp(gst, g0=g0, hi_r=hi_r):
+                    out = []
+                    for idx, i in enumerate(range(g0, hi_r)):
+                        out.extend(
+                            row_phase(i, gst[idx * NF: idx * NF + NF])
+                        )
+                    return tuple(out)
+
+                gin = tuple(x for i in range(g0, hi_r)
+                            for x in (best[i], uu[i], vv[i], tt[i],
+                                      nx[i], ny[i], nz[i], pid[i],
+                                      lay[i], ii[i]))
+                gout = jax.lax.cond(gbit, do_grp, lambda s: s, gin)
+                for idx, i in enumerate(range(g0, hi_r)):
+                    (best[i], uu[i], vv[i], tt[i], nx[i], ny[i], nz[i],
+                     pid[i], lay[i],
+                     ii[i]) = gout[idx * NF: idx * NF + NF]
+            bestc = jnp.concatenate(best, axis=0)
+            best = rows(bestc)
+            return repack(jnp.minimum(bestc, TMAX))
 
         def step_fn(st):
-            (sp, qh, qt, cap, best, slot, uu, vv, tt, pops) = st
+            (sp, qh, qt, cap, best, uu, vv, tt, nx, ny, nz, pid, lay,
+             ii, pops, iters) = st
+            iters = iters + 1
             # ---- drain up to qd prefetched clusters ---------------------
             qlen = qt - qh
-            for j in range(qd):
+            for j in range(qd):  # qd=0 compiles the drains out entirely
                 li = queue_ref[0, (qh + j) & qmask]
-                st6 = (cap, best, slot, uu, vv, tt)
+                st11 = (cap, best, uu, vv, tt, nx, ny, nz, pid, lay, ii)
                 if probe == "nocond":
                     # timing probe: drain unconditionally (garbage data on
                     # empty queue — wrong results, isolates cond cost)
-                    st6 = drain_one(li, (qh + j) & qmask, st6,
-                                    real=j < qlen)
+                    st11 = drain_one(li, (qh + j) & qmask, st11,
+                                     real=j < qlen)
                 else:
-                    st6 = jax.lax.cond(
+                    st11 = jax.lax.cond(
                         j < qlen,
                         functools.partial(drain_one, li, (qh + j) & qmask),
-                        lambda s: s, st6,
+                        lambda s: s, st11,
                     )
-                (cap, best, slot, uu, vv, tt) = st6
+                (cap, best, uu, vv, tt, nx, ny, nz, pid, lay, ii) = st11
             qh = qh + jnp.minimum(qlen, qd)
 
             # ---- one upper-tree pop (branch-free dummy fallback) --------
@@ -626,13 +792,25 @@ def _cluster_kernel(
                              jnp.int32(dummy_node))
             sp = jnp.where(active, sp - 1, sp)
             pops = pops + active.astype(jnp.int32)
-            row = nodes_ref[pl.ds(nidx // npr, 1), :]
-            rot = pltpu.roll(row, -(nidx % npr) * nstride, axis=1)
+            # Columnar node fetch: fields run down lane nidx&127 of
+            # block nidx>>7; one roll + ONE lane broadcast staged
+            # through VMEM scratch makes every box field a (1,128)
+            # vector operand — no per-field vector->scalar extracts
+            # (the measured dominant pop cost; traverse_pallas.py
+            # columnar mode, PERF.md round-2).
+            block = nodes_ref[nidx >> 7]
+            rot = pltpu.roll(block, -(nidx & 127), axis=1)
+            colbc_ref[0:nstride, :] = jnp.broadcast_to(
+                rot[:, 0:1], (nstride, 128)
+            )
+
+            def vget(k):
+                return colbc_ref[k:k + 1, :]
 
             def slab_hit(b0):
-                lox, hix = rot[0, b0], rot[0, b0 + 3]
-                loy, hiy = rot[0, b0 + 1], rot[0, b0 + 4]
-                loz, hiz = rot[0, b0 + 2], rot[0, b0 + 5]
+                lox, hix = vget(b0), vget(b0 + 3)
+                loy, hiy = vget(b0 + 1), vget(b0 + 4)
+                loz, hiz = vget(b0 + 2), vget(b0 + 5)
                 t1 = (lox - O[0]) * INV[0]
                 t2 = (hix - O[0]) * INV[0]
                 tn_ = jnp.minimum(t1, t2)
@@ -665,9 +843,9 @@ def _cluster_kernel(
                     m_lo if k < 4 else m_hi, 8 * (k % 4)) & 255) > 0
                 for k in range(WIDE8_CAP)
             ]
-            encs = [rot[0, 48 + k].astype(jnp.int32)
+            encs = [rot[48 + k, 0].astype(jnp.int32)
                     for k in range(WIDE8_CAP)]
-            axis = rot[0, 56].astype(jnp.int32)
+            axis = rot[56, 0].astype(jnp.int32)
             fwd = jnp.where(
                 axis == 0, SGN[0], jnp.where(axis == 1, SGN[1], SGN[2])
             )
@@ -684,46 +862,70 @@ def _cluster_kernel(
                 isleaf = (e_j & 1) == 1
                 tgt = jax.lax.shift_right_logical(e_j, 1)
                 wq = h_j & isleaf
-                queue_ref[0, jnp.where(wq, qt & qmask, QCAP)] = tgt
+                if probe in ("nopush", "spin", "noqueue", "noout"):
+                    wq = wq & (qt < 0)  # never true: pure pop-loop probe
+                if probe != "noqueue":
+                    queue_ref[0, jnp.where(wq, qt & qmask, QCAP)] = tgt
 
-                @pl.when(wq)
-                def _(tgt=tgt, qt=qt):
-                    _ablk_copy(tgt, qt & qmask).start()
+                if probe not in ("nodma", "nopush", "spin", "noqueue",
+                                 "noout"):
+                    @pl.when(wq)
+                    def _(tgt=tgt, qt=qt):
+                        _ablk_copy(tgt, qt & qmask).start()
 
                 qt = qt + wq.astype(jnp.int32)
                 ws = h_j & jnp.logical_not(isleaf) & (sp < KSTACK)
                 stack_ref[0, jnp.where(ws, sp, KSTACK)] = tgt
                 sp = sp + ws.astype(jnp.int32)
-            return (sp, qh, qt, cap, best, slot, uu, vv, tt, pops)
+            return (sp, qh, qt, cap, best, uu, vv, tt, nx, ny, nz, pid,
+                    lay, ii, pops, iters)
 
         shape = (srows, 128)
         init = (
             jnp.int32(1), jnp.int32(0), jnp.int32(0),
-            jnp.minimum(jnp.full(shape, _BIG, jnp.float32), TMAX),
-            jnp.full(shape, _BIG, jnp.float32),
-            jnp.full(shape, -1, jnp.int32),
-            jnp.zeros(shape, jnp.float32),
-            jnp.zeros(shape, jnp.float32),
-            jnp.zeros(shape, jnp.int32),
+            jnp.minimum(jnp.full(shape, _BIG, jnp.float32), TMAX),  # cap
+            jnp.full(shape, _BIG, jnp.float32),                     # best
+            jnp.zeros(shape, jnp.float32),                          # u
+            jnp.zeros(shape, jnp.float32),                          # v
+            jnp.zeros(shape, jnp.int32),                            # tt
+            jnp.zeros(shape, jnp.float32),                          # -n x
+            jnp.zeros(shape, jnp.float32),                          # -n y
+            jnp.zeros(shape, jnp.float32),                          # -n z
+            jnp.full(shape, -1, jnp.int32),                         # pid
+            jnp.zeros(shape, jnp.int32),                            # lay
+            jnp.full(shape, -1, jnp.int32),                         # inst
+            jnp.int32(0),
             jnp.int32(0),
         )
 
         def cond(c):
             st, done = c
-            alive = ((st[0] > 0) | (st[2] > st[1])) & (st[9] < MAX_ITERS)
+            if probe == "spin":
+                return st[10] < 20000   # timing probe: fixed trip count
+            alive = ((st[0] > 0) | (st[2] > st[1])) & (st[15] < MAX_ITERS)
             if any_hit:
                 alive = alive & jnp.logical_not(done)
             return alive
 
+        # A data-dependent while-condition serializes the scalar unit's
+        # run-ahead: every trip exposes the full reduction->scalar->
+        # branch latency (~5 us measured; with an independent counter
+        # the same body runs at ~0.9 us).  Amortize it: run INNER
+        # iterations per aliveness check — the body is dummy-safe by
+        # design (empty stack pops the NaN dummy node, empty queue
+        # drains nothing), so overshoot iterations are cheap no-ops.
         def body(c):
             st, done = c
-            st = step_fn(st)
+            st = jax.lax.fori_loop(
+                0, inner, lambda _, s: step_fn(s), st, unroll=True
+            )
             if any_hit:
-                done = jnp.min(st[5]) >= 0
+                done = jnp.min(st[11]) >= 0
             return (st, done)
 
         st, _ = jax.lax.while_loop(cond, body, (init, jnp.bool_(False)))
-        (sp, qh, qt, cap, best, slot, uu, vv, tt, pops) = st
+        (sp, qh, qt, cap, best, uu, vv, tt, nx, ny, nz, pid, lay, ii,
+         pops, iters) = st
 
         if any_hit:
             # early exit can abandon queued prefetches; balance their sems
@@ -736,47 +938,67 @@ def _cluster_kernel(
 
             jax.lax.fori_loop(0, QCAP, clean, qh)
 
-        @pl.when(g >= 2)
-        def _():
-            _f_out(g - 2, pb).wait()
-            _i_out(g - 2, pb).wait()
+        if probe != "noout":
+            @pl.when(g >= 2)
+            def _():
+                _f_out(g - 2, pb).wait()
+                _i_out(g - 2, pb).wait()
 
-        found = slot >= 0
-        fb = pb * frows
-        ib = pb * irows
-        fbuf[pl.ds(fb, srows), :] = jnp.where(found, best, T_MAX_DEFAULT)
-        fbuf[pl.ds(fb + srows, srows), :] = jnp.where(found, uu, 0.0)
-        fbuf[pl.ds(fb + 2 * srows, srows), :] = jnp.where(found, vv, 0.0)
-        ibuf[pl.ds(ib, srows), :] = slot
-        ibuf[pl.ds(ib + srows, srows), :] = tt
-        _f_out(g, pb).start()
-        _i_out(g, pb).start()
-        return pops_total + pops
+            found = pid >= 0
+            fb = pb * frows
+            ib = pb * irows
+            fbuf[pl.ds(fb, srows), :] = jnp.where(found, best,
+                                                  T_MAX_DEFAULT)
+            fbuf[pl.ds(fb + srows, srows), :] = jnp.where(found, uu, 0.0)
+            fbuf[pl.ds(fb + 2 * srows, srows), :] = jnp.where(found, vv,
+                                                              0.0)
+            fbuf[pl.ds(fb + 3 * srows, srows), :] = nx
+            fbuf[pl.ds(fb + 4 * srows, srows), :] = ny
+            fbuf[pl.ds(fb + 5 * srows, srows), :] = nz
+            ibuf[pl.ds(ib, srows), :] = pid
+            ibuf[pl.ds(ib + srows, srows), :] = lay
+            ibuf[pl.ds(ib + 2 * srows, srows), :] = tt
+            ibuf[pl.ds(ib + 3 * srows, srows), :] = ii
+            _f_out(g, pb).start()
+            _i_out(g, pb).start()
+        else:
+            # timing probe: outputs never written/copied (garbage fout)
+            pops = pops + jnp.sum(best[0:1, 0:1]).astype(jnp.int32) * 0
+        return (pops_total[0] + pops, pops_total[1] + iters)
 
-    pops_total = jax.lax.fori_loop(0, num_tiles, group_body, jnp.int32(0))
-    for g in range(max(num_tiles - 2, 0), num_tiles):
-        _f_out(g, g & 1).wait()
-        _i_out(g, g & 1).wait()
-    pops_out[0, 0] = pops_total
+    pops_total = jax.lax.fori_loop(
+        0, num_tiles, group_body, (jnp.int32(0), jnp.int32(0))
+    )
+    if probe != "noout":
+        for g in range(max(num_tiles - 2, 0), num_tiles):
+            _f_out(g, g & 1).wait()
+            _i_out(g, g & 1).wait()
+    pops_out[0, 0] = pops_total[0]
+    pops_out[0, 1] = pops_total[1]
 
 
 def _call_cluster(rays_packed, nodes, ablocks, *, any_hit, interpret,
-                  num_tiles, dummy_enc, srows, tcap, qd, probe="",
-                  islab=None, iinv=None):
+                  num_tiles, dummy_enc, srows, tcap, qd, inner=1,
+                  probe="", islab=None, iinv=None, ifwd=None):
+    from .traverse_pallas import _to_columnar
+
+    # upper tree -> columnar blocks (NB, stride, 128): node fields run
+    # down a lane column; tiny tables, converted on device per cast
+    nodes = _to_columnar(nodes, NODE8_STRIDE, NODE8_STRIDE)
     rrows = 8 * srows
-    frows = 3 * srows
-    irows = 2 * srows
+    frows = 6 * srows
+    irows = 4 * srows
     br = tcap + 8
     n_inst = 0 if islab is None else int(islab.shape[1])
     kern = functools.partial(
         _cluster_kernel, any_hit=any_hit, dummy_enc=dummy_enc,
-        srows=srows, tcap=tcap, num_tiles=num_tiles, qd=qd, probe=probe,
-        n_inst=n_inst,
+        srows=srows, tcap=tcap, num_tiles=num_tiles, qd=qd, inner=inner,
+        probe=probe, n_inst=n_inst,
     )
     hbm = pl.BlockSpec(memory_space=pl.ANY)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    extra_in = [smem, smem] if n_inst else []
-    extra_args = [islab, iinv] if n_inst else []
+    extra_in = [smem, smem, smem] if n_inst else []
+    extra_args = [islab, iinv, ifwd] if n_inst else []
     cp = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
     return pl.pallas_call(
         kern,
@@ -786,7 +1008,7 @@ def _call_cluster(rays_packed, nodes, ablocks, *, any_hit, interpret,
         out_shape=(
             jax.ShapeDtypeStruct((num_tiles * frows, 128), jnp.float32),
             jax.ShapeDtypeStruct((num_tiles * irows, 128), jnp.int32),
-            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, 2), jnp.int32),
         ),
         scratch_shapes=[
             pltpu.VMEM((2 * rrows, 128), jnp.float32),   # ray grp (dbuf)
@@ -794,13 +1016,76 @@ def _call_cluster(rays_packed, nodes, ablocks, *, any_hit, interpret,
             pltpu.VMEM((2 * irows, 128), jnp.int32),     # i32 out (dbuf)
             pltpu.SMEM((1, KSTACK + 1), jnp.int32),      # + sacrificial
             pltpu.SMEM((1, QCAP + 1), jnp.int32),        # ring + sacrificial
-            pltpu.VMEM(nodes.shape, jnp.float32),        # upper tree
+            pltpu.VMEM(nodes.shape, jnp.float32),        # upper tree (columnar)
             pltpu.VMEM((QCAP * br, 128), jnp.float32),   # field-slab landings
+            pltpu.VMEM((NODE8_STRIDE, 128), jnp.float32),  # node broadcast
             # 0 nodes; 2+pb ray-in; 4+pb f-out; 6+pb i-out; 8+slot qland
             pltpu.SemaphoreType.DMA((8 + QCAP,)),
         ],
         interpret=interpret,
     )(rays_packed, nodes, ablocks, *extra_args)
+
+
+def _pack_kernel(*refs, srows):
+    out = refs[-1]
+    for f in range(8):
+        out[pl.ds(f * srows, srows), :] = refs[f][...]
+
+
+def _pack_rays(rfields, num_tiles, srows, interpret):
+    """Interleave 8 ray-field planes into per-tile field-major groups.
+
+    As pure XLA (jnp.stack) this interleave measured 5.8 ms per 786K-ray
+    frame — a noticeable slice of the cast; as a trivial pallas copy
+    kernel over the tile grid it is HBM-bandwidth bound (~0.2 ms)."""
+    grid = (num_tiles,)
+    blk = lambda: pl.BlockSpec((srows, 128), lambda g: (g, 0))
+    return pl.pallas_call(
+        functools.partial(_pack_kernel, srows=srows),
+        grid=grid,
+        in_specs=[blk() for _ in range(8)],
+        out_specs=pl.BlockSpec((8 * srows, 128), lambda g: (g, 0)),
+        out_shape=jax.ShapeDtypeStruct((num_tiles * 8 * srows, 128),
+                                       jnp.float32),
+        interpret=interpret,
+    )(*rfields)
+
+
+def _hits_from_buffers(fout, iout, rays, num_tiles, srows, n):
+    """Gather-free hit assembly: every per-ray field (incl. prim id,
+    layers, and the unnormalized winner normal) comes straight out of the
+    kernel buffers; the only remaining math is elementwise.  (The old
+    slot-metadata gathers measured ~30 ms of a ~49 ms 99K frame.)"""
+    f4 = fout.reshape(num_tiles, 6, srows * 128)
+    i4 = iout.reshape(num_tiles, 4, srows * 128)
+    t = f4[:, 0].reshape(-1)[:n]
+    u = f4[:, 1].reshape(-1)[:n]
+    v = f4[:, 2].reshape(-1)[:n]
+    nn = jnp.stack(
+        [f4[:, 3].reshape(-1)[:n], f4[:, 4].reshape(-1)[:n],
+         f4[:, 5].reshape(-1)[:n]], axis=-1,
+    )
+    pid = i4[:, 0].reshape(-1)[:n]
+    lay = i4[:, 1].reshape(-1)[:n]
+    tt = i4[:, 2].reshape(-1)[:n]
+
+    found = pid >= 0
+    # kernel emits -n (unnormalized geometric normal) of the winner
+    nrm = -nn
+    ln = jnp.sqrt(jnp.sum(nrm * nrm, axis=-1, keepdims=True))
+    nrm = nrm / jnp.where(ln > 0.0, ln, 1.0)
+    hits = Hits(
+        t=jnp.where(found, t, T_MAX_DEFAULT),
+        position=jnp.where(
+            found[:, None], rays.origin + rays.direction * t[:, None], 0.0
+        ),
+        normal=jnp.where(found[:, None], nrm, 0.0),
+        u=u,
+        v=v,
+        prim_id=jnp.where(found, pid, NO_HIT),
+        hit_layers=jnp.where(found, lay, 0),
+    )
+    return hits, found, tt
 
 
 def _on_tpu() -> bool:
@@ -812,6 +1097,9 @@ def _on_tpu() -> bool:
 
 CLUSTER_SROWS = 16   # ray-tile height (srows x 128 rays per tile)
 CLUSTER_QD = 2       # cluster drains per traversal iteration
+CLUSTER_INNER = 1    # iterations per aliveness check (1 = plain while;
+#                      >1 measured NO win — the while-cond dependence is
+#                      not the binding cost; see PERF.md round-3 notes)
 
 
 def cast_rays_cluster(
@@ -822,6 +1110,7 @@ def cast_rays_cluster(
     interpret: bool | None = None,
     srows: int = CLUSTER_SROWS,
     qd: int = CLUSTER_QD,
+    inner: int = CLUSTER_INNER,
     probe: str = "",
 ) -> tuple[Hits, RayStats, jnp.ndarray]:
     """Closest-hit / any-hit cast through the dense cluster kernel.
@@ -834,14 +1123,14 @@ def cast_rays_cluster(
         interpret = not _on_tpu()
     return _cast_rays_cluster_jit(
         rays, cs, query_mask=int(query_mask), any_hit=any_hit,
-        interpret=interpret, srows=srows, qd=qd, probe=probe,
+        interpret=interpret, srows=srows, qd=qd, inner=inner, probe=probe,
     )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("query_mask", "any_hit", "interpret", "srows",
-                     "qd", "probe"),
+                     "qd", "inner", "probe"),
 )
 def _cast_rays_cluster_jit(
     rays: Rays,
@@ -852,6 +1141,7 @@ def _cast_rays_cluster_jit(
     interpret: bool,
     srows: int,
     qd: int,
+    inner: int,
     probe: str,
 ) -> tuple[Hits, RayStats, jnp.ndarray]:
     n = rays.count
@@ -878,9 +1168,7 @@ def _cast_rays_cluster_jit(
         fld(rays.direction[:, 2], 1.0),
         fld(rays.t_min, 0.0), fld(rays.t_max, -1.0),  # pads never hit
     )
-    packed = jnp.stack(
-        [f.reshape(num_tiles, srows, 128) for f in rfields], axis=1
-    ).reshape(num_tiles * 8 * srows, 128)
+    packed = _pack_rays(rfields, num_tiles, srows, interpret)
 
     ablocks = cs.ablocks
     if query_mask != -1:
@@ -890,33 +1178,16 @@ def _cast_rays_cluster_jit(
         packed, cs.nodes, ablocks,
         any_hit=any_hit, interpret=interpret, num_tiles=num_tiles,
         dummy_enc=cs.dummy_enc, srows=srows, tcap=cs.tcap, qd=qd,
-        probe=probe,
+        inner=inner, probe=probe,
     )
-    f4 = fout.reshape(num_tiles, 3, srows * 128)
-    i4 = iout.reshape(num_tiles, 2, srows * 128)
-    t = f4[:, 0].reshape(-1)[:n]
-    u = f4[:, 1].reshape(-1)[:n]
-    v = f4[:, 2].reshape(-1)[:n]
-    slot = i4[:, 0].reshape(-1)[:n]
-    tt = i4[:, 1].reshape(-1)[:n]
-
-    found = slot >= 0
-    gslot = jnp.maximum(slot, 0)
-    hits = Hits(
-        t=jnp.where(found, t, T_MAX_DEFAULT),
-        position=jnp.where(
-            found[:, None], rays.origin + rays.direction * t[:, None], 0.0
-        ),
-        normal=jnp.where(found[:, None], cs.slot_normal[gslot], 0.0),
-        u=u,
-        v=v,
-        prim_id=jnp.where(found, cs.slot_prim_id[gslot], NO_HIT),
-        hit_layers=jnp.where(found, cs.slot_layers[gslot], 0),
-    )
+    hits, found, tt = _hits_from_buffers(fout, iout, rays, num_tiles,
+                                         srows, n)
     stats = RayStats(
         rays_cast=jnp.int32(n),
         tri_tests=jnp.sum(tt.astype(jnp.float32)),
         bvh_nodes_visited=jnp.sum(pops_tot[0, 0][None]),
         hits=jnp.sum(found.astype(jnp.int32)),
     )
+    if probe:
+        return hits, stats, found, pops_tot[0, 1]
     return hits, stats, found

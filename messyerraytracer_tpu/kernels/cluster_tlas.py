@@ -51,6 +51,8 @@ from .cluster import (
     LOCAL_MASK,
     TCAP_DEFAULT,
     _call_cluster,
+    _hits_from_buffers,
+    _pack_rays,
     _on_tpu,
     _upper_node_tables,
     build_cluster_scene,
@@ -88,7 +90,7 @@ class ClusterTLAS:
 
 def _to_mat34(t) -> np.ndarray:
     """Accept a (3,4), (4,4), or (3,3)+implicit-0 transform -> (3,4)."""
-    t = np.asarray(t, np.float64)
+    t = np.asarray(t, np.float64)  # lint: off — host-side inverse precision
     if t.shape == (4, 4):
         return t[:3, :]
     if t.shape == (3, 4):
@@ -356,9 +358,7 @@ def _cast_tlas_jit(rays, ct, *, query_mask, any_hit, interpret, srows, qd):
         fld(rays.direction[:, 2], 1.0),
         fld(rays.t_min, 0.0), fld(rays.t_max, -1.0),
     )
-    packed = jnp.stack(
-        [f.reshape(num_tiles, srows, 128) for f in rfields], axis=1
-    ).reshape(num_tiles * 8 * srows, 128)
+    packed = _pack_rays(rfields, num_tiles, srows, interpret)
 
     ablocks = ct.ablocks
     if query_mask != -1:
@@ -368,54 +368,22 @@ def _cast_tlas_jit(rays, ct, *, query_mask, any_hit, interpret, srows, qd):
         packed, ct.nodes, ablocks,
         any_hit=any_hit, interpret=interpret, num_tiles=num_tiles,
         dummy_enc=ct.dummy_enc, srows=srows, tcap=tcap, qd=qd,
-        islab=ct.islab, iinv=ct.iinv,
+        islab=ct.islab, iinv=ct.iinv, ifwd=ct.ifwd,
     )
-    f4 = fout.reshape(num_tiles, 3, srows * 128)
-    i4 = iout.reshape(num_tiles, 2, srows * 128)
-    t = f4[:, 0].reshape(-1)[:n]
-    u = f4[:, 1].reshape(-1)[:n]
-    v = f4[:, 2].reshape(-1)[:n]
-    slot = i4[:, 0].reshape(-1)[:n]
-    tt = i4[:, 1].reshape(-1)[:n]
-
-    found = slot >= 0
-    gslot = jnp.maximum(slot, 0)
-    gid = gslot // tcap
-    k = gslot % tcap
-    inst = jax.lax.shift_right_logical(gid, LOCAL_BITS)
-    local = gid & LOCAL_MASK
-    mslot = ct.inst_slot_base[inst] + local * tcap + k
-    n_obj = ct.slot_normal[mslot]
-    fw = ct.ifwd[inst]                                 # (N, 9)
-    n_w = jnp.stack(
-        [fw[:, 0] * n_obj[:, 0] + fw[:, 1] * n_obj[:, 1]
-         + fw[:, 2] * n_obj[:, 2],
-         fw[:, 3] * n_obj[:, 0] + fw[:, 4] * n_obj[:, 1]
-         + fw[:, 5] * n_obj[:, 2],
-         fw[:, 6] * n_obj[:, 0] + fw[:, 7] * n_obj[:, 1]
-         + fw[:, 8] * n_obj[:, 2]], axis=-1,
-    )
-    ln = jnp.linalg.norm(n_w, axis=-1, keepdims=True)
-    n_w = n_w / jnp.where(ln > 0, ln, 1.0)
-
-    hits = Hits(
-        t=jnp.where(found, t, T_MAX_DEFAULT),
-        position=jnp.where(
-            found[:, None], rays.origin + rays.direction * t[:, None], 0.0
-        ),
-        normal=jnp.where(found[:, None], n_w, 0.0),
-        u=u,
-        v=v,
-        prim_id=jnp.where(found, ct.slot_prim_id[mslot], NO_HIT),
-        hit_layers=jnp.where(found, ct.slot_layers[mslot], 0),
-    )
+    # Gather-free outputs: the kernel already selected prim id / layers /
+    # WORLD-space unnormalized normal / instance id for the winning
+    # triangle (kernels/cluster.py row_phase), so assembly is elementwise.
+    hits, found, tt = _hits_from_buffers(fout, iout, rays, num_tiles,
+                                         srows, n)
+    i4 = iout.reshape(num_tiles, 4, srows * 128)
+    inst = i4[:, 3].reshape(-1)[:n]
     stats = RayStats(
         rays_cast=jnp.int32(n),
         tri_tests=jnp.sum(tt.astype(jnp.float32)),
         bvh_nodes_visited=jnp.sum(pops_tot[0, 0][None]),
         hits=jnp.sum(found.astype(jnp.int32)),
     )
-    inst_id = jnp.where(found, inst.astype(jnp.int32), -1)
+    inst_id = jnp.where(found, inst, -1)
     return hits, stats, found, inst_id
 
 

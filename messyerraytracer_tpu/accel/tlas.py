@@ -146,7 +146,7 @@ class SceneTLAS:
     ``refit_tlas`` (10-100x cheaper than rebuild, scene_tlas.h:178-196).
     """
 
-    def __init__(self, backend: str = "pallas"):
+    def __init__(self, backend: str = "cluster"):
         self.backend = backend
         self.meshes: list[MeshBLAS] = []
         self.instances: list[BLASInstance] = []
@@ -157,6 +157,8 @@ class SceneTLAS:
         self._slot_inst = None                     # (F,) device, slot order
         self._transforms_dev = None                # (I, 3, 4) device
         self._two_level = None                     # FrontierTLAS cache
+        self._ctlas = None                         # ClusterTLAS cache
+        self._prim_base = None                     # (I,) flat prim id base
 
     # ---- build -------------------------------------------------------
     def add_mesh(self, tri_array, layers=None) -> int:
@@ -169,6 +171,7 @@ class SceneTLAS:
         )
         self.meshes.append(MeshBLAS(scene, tri_array))
         self._two_level = None  # frontier tables embed the mesh forest
+        self._ctlas = None
         return len(self.meshes) - 1
 
     def add_instance(self, blas_id: int, transform, layers: int = ALL_LAYERS) -> int:
@@ -176,6 +179,7 @@ class SceneTLAS:
         assert 0 <= blas_id < len(self.meshes)
         self.instances.append(BLASInstance.create(blas_id, transform, layers))
         self._two_level = None  # frontier tables embed the instance set
+        self._ctlas = None
         return len(self.instances) - 1
 
     def build_tlas(self) -> None:
@@ -232,6 +236,14 @@ class SceneTLAS:
         )
         # frontier two-level tables embed instance transforms/AABBs
         self._two_level = None
+        if self._ctlas is not None:
+            # device-side refit of the instanced cluster tables
+            # (scene_tlas.h:180-196 semantics; pair-BVH refit + regather)
+            from ..kernels.cluster_tlas import set_transforms
+
+            self._ctlas = set_transforms(
+                self._ctlas, [i.transform for i in self.instances]
+            )
 
     def refit_tlas(self) -> None:
         """Re-transform flattened triangles + refit — all on device
@@ -240,12 +252,13 @@ class SceneTLAS:
         self._transforms_dev = jnp.asarray(
             np.stack([i.transform for i in self.instances])
         )
-        tris, bvh, wide = _tlas_refit_jit(
-            self.flat.bvh, self.flat.wide, self.flat.tris,
+        tris, bvh, wide, cluster = _tlas_refit_jit(
+            self.flat.bvh, self.flat.wide, self.flat.cluster,
+            self.flat.tris,
             self._obj_slots, self._slot_inst, self._transforms_dev,
         )
         self.flat = dataclasses.replace(
-            self.flat, tris=tris, bvh=bvh, wide=wide,
+            self.flat, tris=tris, bvh=bvh, wide=wide, cluster=cluster,
             _frontier=None, _frontier_q=None,  # stale-geometry caches
         )
 
@@ -296,6 +309,62 @@ class SceneTLAS:
         if ft is None:
             ft = self.build_two_level()
         return cast_rays_tlas(rays, ft, query_mask, any_hit)
+
+    # ---- production instanced cast (cluster-TLAS kernel) -------------
+    def build_instanced(self, tcap: int | None = None):
+        """Build the instanced cluster-TLAS tables (kernels/cluster_tlas).
+
+        Memory scales with registered MESHES (object-space cluster slabs
+        are shared by all instances of a mesh) — the reference's native
+        TLAS memory contract (scene_tlas.h:140-176) on the production
+        TPU kernel.  Per-instance layer masks are not representable in
+        the shared slabs; fall back to the flat/frontier paths when any
+        instance carries a non-default mask."""
+        from ..kernels.cluster import TCAP_DEFAULT
+        from ..kernels.cluster_tlas import build_cluster_tlas
+
+        if any(i.layers != ALL_LAYERS for i in self.instances):
+            raise ValueError(
+                "instanced cluster path does not support per-instance "
+                "layer masks (slabs are shared across instances); use "
+                "cast_rays / cast_rays_two_level_fast"
+            )
+        mesh_tris = [m.tri_array for m in self.meshes]
+        instances = [(i.blas_id, i.transform) for i in self.instances]
+        self._ctlas = build_cluster_tlas(
+            mesh_tris, instances,
+            tcap=TCAP_DEFAULT if tcap is None else tcap,
+        )
+        base = np.zeros(len(self.instances), np.int64)
+        acc = 0
+        for i, inst in enumerate(self.instances):
+            base[i] = acc
+            acc += self.meshes[inst.blas_id].num_tris
+        self._prim_base = jnp.asarray(base.astype(np.int32))
+        return self._ctlas
+
+    def cast_rays_instanced(self, rays: Rays, query_mask=ALL_LAYERS,
+                            any_hit: bool = False):
+        """Frame-scale instanced cast on the production cluster kernel.
+
+        Memory ~ meshes (never flattens); prim_id is reported in the
+        flattened scene's global numbering (instance base + mesh-local
+        id) so results are directly comparable with ``cast_rays``.
+        Returns (hits, stats, occluded, instance_id)."""
+        from ..kernels.cluster_tlas import cast_rays_cluster_tlas
+
+        if self._ctlas is None:
+            self.build_instanced()
+        hits, stats, occ, inst_id = cast_rays_cluster_tlas(
+            rays, self._ctlas, query_mask=query_mask, any_hit=any_hit,
+        )
+        flat_pid = jnp.where(
+            inst_id >= 0,
+            self._prim_base[jnp.maximum(inst_id, 0)] + hits.prim_id,
+            NO_HIT,
+        )
+        hits = dataclasses.replace(hits, prim_id=flat_pid)
+        return hits, stats, occ, inst_id
 
     # ---- instance-accurate two-level cast (jnp reference path) -------
     def cast_rays_two_level(self, rays: Rays, query_mask=ALL_LAYERS):
@@ -373,9 +442,10 @@ class SceneTLAS:
 
 
 @jax.jit
-def _tlas_refit_jit(bvh, wide, old_tris, obj_slots, slot_inst, transforms):
+def _tlas_refit_jit(bvh, wide, cluster, old_tris, obj_slots, slot_inst,
+                    transforms):
     """Device-side: world tris from object tris + per-instance transforms,
-    then triangle rederivation + BVH refit + wide refresh."""
+    then triangle rederivation + BVH refit + wide/cluster refresh."""
     r = transforms[slot_inst, :, :3]       # (F,3,3)
     t = transforms[slot_inst, :, 3]        # (F,3)
     # einsum would route through the MXU at bf16 default precision on TPU
@@ -400,7 +470,11 @@ def _tlas_refit_jit(bvh, wide, old_tris, obj_slots, slot_inst, transforms):
     from ..core.geometry import aabb_of_triangles
     from ..kernels.wide import refresh_wide_scene
 
+    from ..kernels.cluster import refresh_cluster_scene
+
     tmin, tmax = aabb_of_triangles(tris.v0, tris.v1, tris.v2)
     bvh2 = refit_bvh(bvh, tmin, tmax)
     wide2 = refresh_wide_scene(wide, bvh2, tris) if wide is not None else None
-    return tris, bvh2, wide2
+    cl2 = (refresh_cluster_scene(cluster, bvh2, tris)
+           if cluster is not None else None)
+    return tris, bvh2, wide2, cl2

@@ -76,13 +76,13 @@ class RayTracerService:
     times / with transforms), ``build()``, then ``cast_ray`` / ``submit``.
     """
 
-    BACKENDS = ("pallas", "frontier", "frontier_q", "jnp", "brute",
-                "auto")  # CPU/GPU/AUTO analogue + frontier backends
+    BACKENDS = ("cluster", "pallas", "frontier", "frontier_q", "jnp",
+                "brute", "auto")  # CPU/GPU/AUTO analogue + extra backends
 
     def __init__(self, backend: str = "auto"):
         assert backend in self.BACKENDS
         self._backend = backend
-        self._tlas = SceneTLAS(backend="pallas")
+        self._tlas = SceneTLAS(backend="cluster")
         self._dispatcher: RayDispatcher | None = None
         self._last_stats: RayStats | None = None
         self._last_elapsed_ms = 0.0
@@ -125,7 +125,7 @@ class RayTracerService:
                                          backend=self._resolve_backend())
 
     def clear_scene(self) -> None:
-        self._tlas = SceneTLAS(backend="pallas")
+        self._tlas = SceneTLAS(backend="cluster")
         self._dispatcher = None
 
     @property
@@ -153,11 +153,15 @@ class RayTracerService:
     def _resolve_backend(self) -> str:
         b = self._backend
         if b == "auto":
-            b = "pallas"
+            b = "cluster"  # the production dense-phase kernel
+        if b == "cluster" and (
+            self._tlas.flat is None or self._tlas.flat.cluster is None
+        ):
+            b = "pallas"  # graceful fallback chain cluster -> pallas -> jnp
         if b == "pallas" and (
             self._tlas.flat is None or self._tlas.flat.wide is None
         ):
-            b = "jnp"  # graceful fallback
+            b = "jnp"
         return b
 
     # ---- casts (ray_service.h:72-93) ----------------------------------

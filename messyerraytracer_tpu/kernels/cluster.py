@@ -497,7 +497,12 @@ def _cluster_kernel(
         INV = tuple(safe_inv(x) for x in D)
         TMIN = ray_buf[pl.ds(base + 6 * srows, srows), :]
         TMAX = ray_buf[pl.ds(base + 7 * srows, srows), :]
-        SGN = tuple(jnp.sum(D[a]) >= 0.0 for a in range(3))
+        # Front-to-back consensus over VALID rays only: padding rays
+        # (t_max < t_min) carry a fixed +z direction that would bias the
+        # child ordering of ragged tiles toward worse drain order.
+        LIVE = TMAX >= TMIN
+        SGN = tuple(jnp.sum(jnp.where(LIVE, D[a], 0.0)) >= 0.0
+                    for a in range(3))
         stack_ref[0, 0] = jnp.int32(0)   # root node index
 
         def drain_one(li, slot_idx, st, real=None):

@@ -25,10 +25,38 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..core.types import Hits, Rays, RayStats
+from ..kernels.cluster import ClusterScene, cast_rays_cluster
 from ..kernels.traverse_pallas import TILE, cast_rays_wide
 from ..kernels.wide import WideScene
 
 RAY_AXIS = "rays"
+
+
+def _shard_cast(scene_like, local: Rays, query_mask: int, any_hit: bool,
+                interpret):
+    """Single-shard cast dispatch: accepts a RayScene (routes to its
+    backend), a ClusterScene, or a WideScene — so the sharded paths work
+    with whichever production kernel the scene was built for."""
+    cs = getattr(scene_like, "cluster", None)
+    if cs is None and isinstance(scene_like, ClusterScene):
+        cs = scene_like
+    if cs is not None:
+        return cast_rays_cluster(
+            local, cs, query_mask=query_mask, any_hit=any_hit,
+            interpret=interpret,
+        )
+    wide = getattr(scene_like, "wide", None)
+    if wide is None and isinstance(scene_like, WideScene):
+        wide = scene_like
+    if wide is None:
+        raise ValueError(
+            "sharded cast needs a scene with cluster or wide tables "
+            f"(got {type(scene_like).__name__})"
+        )
+    return cast_rays_wide(
+        local, wide, query_mask=query_mask, any_hit=any_hit,
+        interpret=interpret,
+    )
 
 
 def make_mesh(n_devices: int | None = None) -> Mesh:
@@ -59,7 +87,7 @@ def _pad_to(rays: Rays, multiple: int) -> tuple[Rays, int]:
 
 def cast_rays_sharded(
     rays: Rays,
-    wide: WideScene,
+    scene,
     mesh: Mesh,
     query_mask: int = -1,
     any_hit: bool = False,
@@ -67,9 +95,11 @@ def cast_rays_sharded(
 ) -> tuple[Hits, RayStats, jnp.ndarray]:
     """Batch cast with the ray axis sharded over ``mesh``.
 
-    The scene is closed over (replicated to all chips by shard_map); each
-    chip casts its local shard with the single-chip kernel, and stats are
-    psum-reduced.  Output hits land sharded over the same axis.
+    ``scene`` may be a RayScene (cast through its backend kernel), a
+    ClusterScene, or a WideScene.  The scene is closed over (replicated to
+    all chips by shard_map); each chip casts its local shard with the
+    single-chip kernel, and stats are psum-reduced.  Output hits land
+    sharded over the same axis.
     """
     n_dev = mesh.devices.size
     rays_p, pad = _pad_to(rays, n_dev * TILE)
@@ -78,9 +108,8 @@ def cast_rays_sharded(
     def local_cast(origin, direction, t_min, t_max):
         local = Rays(origin=origin, direction=direction, t_min=t_min,
                      t_max=t_max)
-        hits, stats, occ = cast_rays_wide(
-            local, wide, query_mask=query_mask, any_hit=any_hit,
-            interpret=interpret,
+        hits, stats, occ = _shard_cast(
+            scene, local, query_mask, any_hit, interpret
         )
         stats = RayStats(
             rays_cast=jax.lax.psum(stats.rays_cast, RAY_AXIS),
@@ -163,8 +192,12 @@ def build_sharded_scene(tri_array: np.ndarray, n_shards: int):
     id_maps = []
     for s in range(n_shards):
         idx = order[bounds[s]:bounds[s + 1]]
+        # The scene-parallel axis stacks WIDE tables (uniform shapes +
+        # NaN/zero padding sentinels); sub-scenes are built on the pallas
+        # layout regardless of the session default backend.
         sc = build_scene_from_tri_array(
-            tri_array[idx], prim_id=np.arange(len(idx), dtype=np.int32)
+            tri_array[idx], prim_id=np.arange(len(idx), dtype=np.int32),
+            backend="pallas",
         )
         wides.append(sc.wide)
         id_maps.append(idx.astype(np.int32))
@@ -314,19 +347,18 @@ def render_step_sharded(scene, cam, width, height, mesh,
     rays_p, pad = _pad_to(rays, n_dev * TILE)
 
     class _ShardScene:
-        """Local-shard cast adapter around the replicated wide scene."""
+        """Local-shard cast adapter around the replicated scene (routes
+        to the scene's backend kernel — cluster or wide)."""
 
         def cast_rays(self, r, query_mask=-1):
-            hits, stats, _ = cast_rays_wide(
-                r, scene.wide, query_mask=int(query_mask),
-                interpret=interpret,
+            hits, stats, _ = _shard_cast(
+                scene, r, int(query_mask), False, interpret
             )
             return hits, stats
 
         def any_hit_rays(self, r, query_mask=-1):
-            _, _, occ = cast_rays_wide(
-                r, scene.wide, query_mask=int(query_mask), any_hit=True,
-                interpret=interpret,
+            _, _, occ = _shard_cast(
+                scene, r, int(query_mask), True, interpret
             )
             return occ
 

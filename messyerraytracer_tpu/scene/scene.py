@@ -54,10 +54,10 @@ class RayScene:
     wide: WideScene | None = None
     cluster: ClusterScene | None = None
     use_bvh: bool = True       # validation switch (ray_scene.h:59)
-    # "pallas" (packet megakernel) | "cluster" (dense-phase cluster
-    # kernel, kernels/cluster.py) | "frontier" | "frontier_q" (quantized
-    # CWBVH-style boxes) | "jnp" | "brute"
-    backend: str = "pallas"
+    # "cluster" (dense-phase cluster kernel, kernels/cluster.py — the
+    # production default) | "pallas" (packet megakernel) | "frontier" |
+    # "frontier_q" (quantized CWBVH-style boxes) | "jnp" | "brute"
+    backend: str = "cluster"
     _frontier: FrontierScene | None = None
     _frontier_q: FrontierScene | None = None
 
@@ -186,7 +186,7 @@ def _refit_jit(bvh, wide, cluster, old_tris, v0, v1, v2):
 
 
 def build_scene(v0, v1, v2, layers=None, prim_id=None, use_bvh=True,
-                backend="pallas", branching=8) -> RayScene:
+                backend="cluster", branching=8) -> RayScene:
     """Build a flat scene from (T,3) vertex arrays.
 
     The BVH build runs on host; the returned SoA arrays are device-resident.

@@ -106,8 +106,19 @@ def load_scene(path: str) -> RayScene:
             branching=int(z["wide_branching"])
             if "wide_branching" in z else 2,
         )
+    backend = bytes(z["backend"]).decode()
+    cluster = None
+    if backend == "cluster":
+        # Cluster tables are derived state: the host-side cluster cut is
+        # cheap and the slabs are materialized on device by
+        # refresh_cluster_scene, so rebuilding on load keeps checkpoints
+        # small while the loaded scene casts through the SAME kernel (a
+        # silent fallback to another backend would flip last-ulp t values).
+        from ..kernels.cluster import build_cluster_scene
+
+        cluster = build_cluster_scene(bvh, tris)
     return RayScene(
         tris=tris, bvh=bvh, wide=wide,
         use_bvh=bool(z["use_bvh"]),
-        backend=bytes(z["backend"]).decode(),
+        backend=backend, cluster=cluster,
     )

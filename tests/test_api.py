@@ -62,7 +62,7 @@ class TestService:
         assert res.elapsed_ms > 0
         s = service.get_last_stats()
         assert s["rays_cast"] == 300
-        assert s["backend"] == "pallas"
+        assert s["backend"] == "cluster"
 
     def test_any_hit_mode(self, service):
         rays = make_rays(
@@ -83,7 +83,7 @@ class TestService:
         r = service.cast_ray((0.11, 0.07, 4), (0, 0, -1))
         assert r["hit"]
         service.set_backend("auto")
-        assert service.get_backend() == "pallas"
+        assert service.get_backend() == "cluster"
 
     def test_frontier_backends_reachable(self, service):
         # the documented 5-backend switch must accept the frontier modes

@@ -119,7 +119,10 @@ class TestNativeBuilder:
         np.testing.assert_array_equal(
             np.asarray(hb.prim_id), np.asarray(hr.prim_id)
         )
-        np.testing.assert_allclose(np.asarray(hb.t), np.asarray(hr.t), rtol=1e-6)
+        # 1e-5: the cluster backend's anchored-Plucker t is a different
+        # (equally exact) f32 rounding path than sequential MT — last-ulp
+        # class deviations on far hits (kernels/cluster.py conditioning)
+        np.testing.assert_allclose(np.asarray(hb.t), np.asarray(hr.t), rtol=1e-5)
 
     def test_native_quality_comparable_to_python(self):
         # the trees may differ in FP tie-breaks but SAH quality must match

@@ -92,7 +92,11 @@ class TestDispatcher:
         np.testing.assert_array_equal(
             np.asarray(hits.prim_id), np.asarray(ref.prim_id)
         )
-        np.testing.assert_allclose(np.asarray(hits.t), np.asarray(ref.t), rtol=1e-6)
+        # 1e-5: the cluster kernel computes t via re-anchored Plucker
+        # bilinear forms — a different (equally exact) f32 rounding path
+        # than sequential MT, last-ulp class apart (kernels/cluster.py
+        # module docstring; PERF.md round-3)
+        np.testing.assert_allclose(np.asarray(hits.t), np.asarray(ref.t), rtol=1e-5)
         # coherent hint path
         hits2, _ = disp.cast_rays(rays, coherent=True)
         np.testing.assert_array_equal(

@@ -270,3 +270,88 @@ class TestRefit:
             np.asarray(hits.prim_id), np.asarray(ref.prim_id)
         )
         np.testing.assert_allclose(np.asarray(hits.t), np.asarray(ref.t), rtol=1e-6)
+
+
+class TestInstancedClusterPath:
+    """SceneTLAS.cast_rays_instanced — the production instanced cast
+    (kernels/cluster_tlas through the API TLAS; scene_tlas.h:203-251)."""
+
+    def _rand_rays(self, n, seed):
+        rng = np.random.default_rng(seed)
+        o = rng.uniform(-5, 5, (n, 3)).astype(np.float32)
+        d = rng.normal(size=(n, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        return make_rays(o, d)
+
+    def test_matches_flatten(self):
+        tlas = build_three_spheres(backend="jnp")
+        rays = self._rand_rays(512, 21)
+        h_flat, _, inst_flat = tlas.cast_rays(rays)
+        h_inst, _, _, inst_id = tlas.cast_rays_instanced(rays)
+        np.testing.assert_array_equal(
+            np.asarray(h_inst.prim_id), np.asarray(h_flat.prim_id)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(inst_id), np.asarray(inst_flat)
+        )
+        # object-space anchored-Plucker vs world-space MT rounding
+        np.testing.assert_allclose(
+            np.asarray(h_inst.t), np.asarray(h_flat.t), rtol=1e-5
+        )
+
+    def test_any_hit(self):
+        tlas = build_three_spheres(backend="jnp")
+        rays = self._rand_rays(256, 22)
+        _, _, occ, _ = tlas.cast_rays_instanced(rays, any_hit=True)
+        occ_flat = tlas.any_hit_rays(rays)
+        np.testing.assert_array_equal(np.asarray(occ), np.asarray(occ_flat))
+
+    def test_memory_scales_with_meshes(self):
+        # 12 instances of ONE mesh: slab memory must hold the mesh once
+        tlas = SceneTLAS(backend="jnp")
+        sphere = meshes.uv_sphere(radius=0.5, rings=6, segments=12)
+        sid = tlas.add_mesh(sphere)
+        for i in range(12):
+            tlas.add_instance(
+                sid, translate((2.0 * (i % 4), 0, 2.0 * (i // 4)))
+            )
+        tlas.build_tlas()
+        ct = tlas.build_instanced()
+        one = SceneTLAS(backend="jnp")
+        one.add_mesh(sphere)
+        one.add_instance(sid, translate((0, 0, 0)))
+        one.build_tlas()
+        ct1 = one.build_instanced()
+        assert ct.ablocks.shape[0] == ct1.ablocks.shape[0]  # slabs shared
+        rays = self._rand_rays(256, 23)
+        h_flat, _, inst_flat = tlas.cast_rays(rays)
+        h_inst, _, _, inst_id = tlas.cast_rays_instanced(rays)
+        np.testing.assert_array_equal(
+            np.asarray(h_inst.prim_id), np.asarray(h_flat.prim_id)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(inst_id), np.asarray(inst_flat)
+        )
+
+    def test_transform_update_refits(self):
+        tlas = build_three_spheres(backend="jnp")
+        rays = make_rays((0.11, 0.07, 5), (0, 0, -1))
+        _, _, _, inst0 = tlas.cast_rays_instanced(rays)
+        assert int(inst0[0]) == 1
+        tlas.set_transform(1, translate((0, 10, 0)))  # refits _ctlas
+        h1, _, _, _ = tlas.cast_rays_instanced(rays)
+        assert not bool(h1.hit[0])
+        rays2 = make_rays((0.11, 15, 0.07), (0, -1, 0))
+        h2, _, _, inst2 = tlas.cast_rays_instanced(rays2)
+        assert bool(h2.hit[0]) and int(inst2[0]) == 1
+
+    def test_instance_layers_rejected(self):
+        tlas = SceneTLAS(backend="jnp")
+        sphere = meshes.uv_sphere(radius=1.0, rings=6, segments=12)
+        sid = tlas.add_mesh(sphere)
+        tlas.add_instance(sid, translate((0, 0, 0)), layers=0b01)
+        tlas.build_tlas()
+        import pytest
+
+        with pytest.raises(ValueError):
+            tlas.build_instanced()

@@ -96,9 +96,10 @@ def cast_debug_rays(
         colors = np.repeat(d[:, None], 3, axis=1)
     elif draw_mode in (DRAW_HEATMAP, DRAW_OVERHEAT):
         # per-RAY exact cost (what OVERHEAT/HEATMAP mean in the reference,
-        # raytracer_debug.cpp:607-618).  The frontier backend counts node
-        # visits/tri tests per ray on-device; packet-kernel tile-level
-        # approximations are never used here.
+        # raytracer_debug.cpp:607-618).  Cluster-backend scenes read the
+        # counters straight out of the production kernel (frame-scale
+        # fast on TPU); others use the frontier per-ray counters.
+        # Tile-level approximations are never used here.
         tt = _per_ray_tri_tests(scene, rays)
         if tt is None:  # no frontier tables (e.g. brute-only scene)
             tt = np.full(n, tri_per_ray, np.float32)
@@ -136,12 +137,25 @@ def cast_debug_rays(
 
 
 def _per_ray_tri_tests(scene, rays: Rays):
-    """Per-ray exact triangle-test counts via the frontier backend
-    (device-native; per-ray exact by construction).  Counts reflect the
-    wide-tree BFS descent with level-lagged best-t culling — a slight
-    upper bound on a depth-first traversal's counts (the jnp backend),
-    but exact per ray, which is what heatmaps need.  Returns None when
-    the scene has no BVH tables to build frontier state from."""
+    """Per-ray exact triangle-test counts.
+
+    Production path: when the scene runs the cluster backend, the
+    counts come out of the PRODUCTION kernel itself (the exact dense
+    tests it performed per ray — the true cost signal for that backend,
+    frame-scale fast on TPU, zero overhead).  Other backends use the
+    frontier dense-BFS counters (per-ray traversal-exact, but
+    debug/small-batch-only on TPU).  Returns None when the scene has no
+    tables for either."""
+    if (getattr(scene, "backend", None) == "cluster"
+            and getattr(scene, "cluster", None) is not None):
+        from ..kernels.cluster import cast_rays_cluster
+
+        _, _, _, per_ray = cast_rays_cluster(
+            rays, scene.cluster, return_per_ray=True,
+            **(scene._cluster_kw() if hasattr(scene, "_cluster_kw")
+               else {}),
+        )
+        return np.asarray(per_ray["tri_tests"], np.float32)
     try:
         fs = scene.frontier
     except (AttributeError, AssertionError):
@@ -154,21 +168,49 @@ def _per_ray_tri_tests(scene, rays: Rays):
     return np.asarray(per_ray["tri_tests"], np.float32)
 
 
-def per_ray_cost_heatmap(scene, rays: Rays, heatmap_max: float = 64.0):
+def per_ray_cost_heatmap(scene, rays: Rays, heatmap_max: float = 64.0,
+                         backend: str | None = None):
     """Exact per-ray cost colors (the reference's per-ray stats path,
-    raytracer_debug.cpp:607-618), computed on-device by the frontier
-    backend — per-ray exact regardless of the scene's default backend.
+    raytracer_debug.cpp:607-618).
 
-    Returns (colors (N,3), tri_tests (N,), nodes (N,)).
+    backend=None picks the production cluster kernel's own counters
+    when available (frame-scale on TPU; counts = dense tests performed)
+    and the frontier backend otherwise (traversal-exact counts, small
+    batches).  Pass "frontier" or "cluster" to force one.
+
+    Returns (colors (N,3), tri_tests (N,), nodes (N,)); the cluster
+    path reports the per-cast AVERAGE node count per ray (its packet
+    upper tree shares node visits across a tile, so a per-ray node
+    count is not defined for it).
     """
-    from ..accel.frontier import cast_rays_frontier
-
-    _, _, _, per_ray = cast_rays_frontier(
-        rays, scene.frontier, scene.tris, return_per_ray_stats=True
+    use_cluster = (
+        backend == "cluster"
+        or (backend is None
+            and getattr(scene, "backend", None) == "cluster"
+            and getattr(scene, "cluster", None) is not None)
     )
-    tt_np = np.asarray(per_ray["tri_tests"], np.float32)
+    if use_cluster:
+        from ..kernels.cluster import cast_rays_cluster
+
+        _, stats, _, per_ray = cast_rays_cluster(
+            rays, scene.cluster, return_per_ray=True,
+            **(scene._cluster_kw() if hasattr(scene, "_cluster_kw")
+               else {}),
+        )
+        tt_np = np.asarray(per_ray["tri_tests"], np.float32)
+        nodes = np.full(
+            rays.count, float(stats.avg_nodes_per_ray()), np.float32
+        )
+    else:
+        from ..accel.frontier import cast_rays_frontier
+
+        _, _, _, per_ray = cast_rays_frontier(
+            rays, scene.frontier, scene.tris, return_per_ray_stats=True
+        )
+        tt_np = np.asarray(per_ray["tri_tests"], np.float32)
+        nodes = np.asarray(per_ray["nodes_visited"], np.float32)
     colors = _heat_color(tt_np / heatmap_max)
-    return colors, tt_np, np.asarray(per_ray["nodes_visited"], np.float32)
+    return colors, tt_np, nodes
 
 
 def bvh_wireframe(bvh, max_depth: int | None = None, leaves_only=False):

@@ -22,7 +22,12 @@ import jax.numpy as jnp
 
 from ..core.types import ALL_LAYERS, Hits, Rays, RayStats
 from ..scene.scene import RayScene
-from .morton import sort_rays_by_direction, unshuffle_flags, unshuffle_hits
+from .morton import (
+    sort_rays_6d,
+    sort_rays_by_direction,
+    unshuffle_flags,
+    unshuffle_hits,
+)
 
 MIN_BATCH_FOR_SORTING = 256  # ray_dispatcher.h:423-427
 
@@ -34,15 +39,29 @@ class RayDispatcher:
     ``backend`` mirrors the reference enum {CPU,GPU,AUTO}
     (ray_dispatcher.h:40-44) as {"pallas","jnp","brute","auto"}; "auto"
     picks the Pallas kernel when the scene has a wide layout built.
+
+    ``sort`` picks the incoherent-batch coherence key: "6d" (default)
+    sorts origin-major with the direction octant minor (measured 0.93 vs
+    0.84 direction-only vs 0.64 unsorted Mrays/s on 512K fully random
+    rays, PERF.md r3); "direction" keeps the reference's key
+    (ray_sort.h:64-76).
     """
 
     scene: RayScene
     backend: str = "auto"
+    sort: str = "6d"
 
     def _scene_for(self) -> RayScene:
         if self.backend == "auto":
             return self.scene
         return dataclasses.replace(self.scene, backend=self.backend)
+
+    def _sorted(self, rays: Rays):
+        if self.sort == "6d":
+            bvh = getattr(self.scene, "bvh", None)
+            if bvh is not None:
+                return sort_rays_6d(rays, bvh.aabb_min[0], bvh.aabb_max[0])
+        return sort_rays_by_direction(rays)
 
     def cast_rays(
         self,
@@ -53,7 +72,7 @@ class RayDispatcher:
         """Closest-hit batch cast (ray_dispatcher.h:124-181 semantics)."""
         scene = self._scene_for()
         if (not coherent) and rays.count >= MIN_BATCH_FOR_SORTING:
-            sorted_rays, perm = sort_rays_by_direction(rays)
+            sorted_rays, perm = self._sorted(rays)
             hits, stats = scene.cast_rays(sorted_rays, query_mask)
             return unshuffle_hits(hits, perm), stats
         return scene.cast_rays(rays, query_mask)
@@ -67,7 +86,7 @@ class RayDispatcher:
         """Occlusion batch cast (ray_dispatcher.h:191-241 semantics)."""
         scene = self._scene_for()
         if (not coherent) and rays.count >= MIN_BATCH_FOR_SORTING:
-            sorted_rays, perm = sort_rays_by_direction(rays)
+            sorted_rays, perm = self._sorted(rays)
             occ = scene.any_hit_rays(sorted_rays, query_mask)
             return unshuffle_flags(occ, perm)
         return scene.any_hit_rays(rays, query_mask)

@@ -69,6 +69,59 @@ def sort_rays_by_direction(rays: Rays) -> tuple[Rays, jnp.ndarray]:
     return apply_permutation(rays, perm), perm
 
 
+def ray_6d_morton(origin: jnp.ndarray, direction: jnp.ndarray,
+                  lo, hi) -> jnp.ndarray:
+    """Origin-major 6D coherence key: 27-bit origin Morton (9 bits/axis
+    over the scene AABB) with the 3-bit direction octant as the minor
+    bits.  Fully incoherent batches (random origins AND directions) sort
+    into tiles that are compact in SPACE first — the packet kernel pays
+    the tile's traversal footprint, and scattered origins, not scattered
+    directions, are what blow that footprint up.  (TPU redesign; the
+    reference's direction-only sort is ray_sort.h:64-76.)"""
+    n = jnp.clip((origin - lo) / jnp.maximum(hi - lo, 1e-12), 0.0, 1.0)
+    q = (n * 511.0).astype(jnp.int32)   # 9 bits/axis -> 27-bit Morton
+    okey = morton_encode_3d(q[:, 0], q[:, 1], q[:, 2])
+    octant = (
+        ((direction[:, 0] < 0).astype(jnp.int32) << 2)
+        | ((direction[:, 1] < 0).astype(jnp.int32) << 1)
+        | (direction[:, 2] < 0).astype(jnp.int32)
+    )
+    return (okey << 3) | octant
+
+
+def sort_rays_6d(rays: Rays, lo, hi, octant_major: bool = True,
+                 dir_bits: int = 1) -> tuple[Rays, jnp.ndarray]:
+    """Stable-sort rays by the 6D key (incoherent batches).
+
+    octant_major (default) puts ``dir_bits`` direction Morton bits per
+    axis ABOVE the origin Morton bits: tiles share a traversal
+    direction, so the kernel's front-to-back consensus ordering and
+    early-out work, and the tile's traversal footprint stops being the
+    union of all directions — measured 2.1x over origin-major and 2.3x
+    over the reference's direction-only key on 512K fully random rays
+    (PERF.md r3).  octant_major=False keys origin-major with the octant
+    minor instead.
+
+    Returns (sorted_rays, perm) with ``sorted[i] = rays[perm[i]]``."""
+    if octant_major:
+        b = dir_bits
+        qmax = (1 << b) - 1
+        nd = jnp.clip((rays.direction + 1.0) * 0.5, 0.0, 1.0)
+        qd = jnp.minimum((nd * (qmax + 1)).astype(jnp.int32), qmax)
+        dirm = morton_encode_3d(qd[:, 0], qd[:, 1], qd[:, 2])
+        # encode3d of b-bit inputs occupies the low 3b bits
+        no = jnp.clip((rays.origin - lo)
+                      / jnp.maximum(hi - lo, 1e-12), 0.0, 1.0)
+        qo = (no * 511.0).astype(jnp.int32)
+        okey = morton_encode_3d(qo[:, 0], qo[:, 1], qo[:, 2])  # 27 bits
+        minor = 28 - 3 * b
+        keys = (dirm << minor) | (okey >> (27 - minor))
+    else:
+        keys = ray_6d_morton(rays.origin, rays.direction, lo, hi)
+    perm = jnp.argsort(keys, stable=True).astype(jnp.int32)
+    return apply_permutation(rays, perm), perm
+
+
 def apply_permutation(rays: Rays, perm: jnp.ndarray) -> Rays:
     return Rays(
         origin=rays.origin[perm],

@@ -73,6 +73,13 @@ from ..utils.struct import pytree_dataclass
 from .wide import NODE8_STRIDE, NODES8_PER_ROW, WIDE8_CAP, _collapse8, _pack_idx
 
 TCAP_DEFAULT = 64       # triangles per cluster (field-slab row count - 8)
+
+
+def cluster_tcap_for(num_tris: int) -> int:
+    """Density-routed cluster size (measured, PERF.md r3): T=32 wins at
+    ~100K scenes (48.1 vs 45.6 Mrays/s — less dense-phase waste), T=64
+    at 1M+ (T=32's upper tree doubles the pop count there)."""
+    return 32 if num_tris <= 300_000 else 64
 LOCAL_BITS = 13         # instanced enc payload: inst << 13 | local cluster
 LOCAL_MASK = (1 << LOCAL_BITS) - 1   # => <= 8192 clusters/mesh, <= 1024 inst
 QCAP = 16               # drain-queue ring depth = in-flight prefetch slots
@@ -308,33 +315,44 @@ def _arrange_ablocks(rows16, anchors, counts, tcap, cmin=None, cmax=None):
     c = rows16.shape[0]
     br = tcap + 8
     nf = rows16.shape[2]
-    body = jnp.concatenate(
-        [rows16, jnp.zeros((c, tcap, 128 - nf), jnp.float32)], axis=2
-    )
-    meta = jnp.zeros((c, 1, 128), jnp.float32)
-    meta = meta.at[:, 0, 0:3].set(anchors).at[:, 0, 3].set(counts)
+    # Assemble via jnp.pad, NOT concat-with-zeros: XLA spends ~100 s in a
+    # pathological pass on the zeros-concat formulation at 1M-tri shapes
+    # (measured tools/prof_arrange_variants.py: 96 s -> 1.2 s compile).
+    body = jnp.pad(rows16, ((0, 0), (0, 0), (0, 128 - nf)))
     if cmin is None:
+        meta_sm = jnp.concatenate([anchors, counts[:, None]], axis=1)
         bc = jnp.ones((c, 6, 128), jnp.float32)    # mask-factor identity
     else:
-        meta = meta.at[:, 0, 4:7].set(cmin).at[:, 0, 7:10].set(cmax)
+        meta_sm = jnp.concatenate(
+            [anchors, counts[:, None], cmin, cmax], axis=1
+        )
         # rows T+1..T+6: cluster AABB min/max pre-broadcast across lanes
         # so the drain's row-cull slab test reads (1,128) vector operands
         # with zero scalar extracts
         bc = jnp.broadcast_to(
             jnp.concatenate([cmin, cmax], axis=1)[:, :, None], (c, 6, 128)
         )
+    meta = jnp.pad(meta_sm, ((0, 0), (0, 128 - meta_sm.shape[1])))
+    meta = meta[:, None, :]
     zpad = jnp.zeros((c, 1, 128), jnp.float32)
     slabs = jnp.concatenate([body, meta, bc, zpad], axis=1)  # (C, BR, 128)
     slabs = slabs.reshape(c * br, 128)
-    return jnp.concatenate(
-        [slabs, jnp.zeros((br, 128), jnp.float32)]         # dummy cluster
-    )
+    return jnp.pad(slabs, ((0, br), (0, 0)))               # dummy cluster
+
+
+def refresh_cluster_scene(cs: ClusterScene, bvh: BVH, tris) -> ClusterScene:
+    """(Re)build nodes + A-blocks from current BVH/triangle data — fully on
+    device, so refits never round-trip to host (scene_tlas.h:180-196).
+
+    The incoming nodes/ablocks are replaced wholesale; stripping them to
+    placeholder shapes before the jit keeps ONE cache entry for both the
+    initial build (skeleton cs) and later refits (full cs)."""
+    z = jnp.zeros((1, 1), jnp.float32)
+    return _refresh_cluster_jit(cs.replace(nodes=z, ablocks=z), bvh, tris)
 
 
 @jax.jit
-def refresh_cluster_scene(cs: ClusterScene, bvh: BVH, tris) -> ClusterScene:
-    """(Re)build nodes + A-blocks from current BVH/triangle data — fully on
-    device, so refits never round-trip to host (scene_tlas.h:180-196)."""
+def _refresh_cluster_jit(cs: ClusterScene, bvh: BVH, tris) -> ClusterScene:
     tcap, c = cs.tcap, cs.num_clusters
     node_src = jnp.concatenate(
         [bvh.aabb_min.reshape(-1), bvh.aabb_max.reshape(-1), cs.node_const]
@@ -401,7 +419,7 @@ def _cluster_kernel(
     *refs,
     any_hit: bool, dummy_enc: int, srows: int, tcap: int,
     num_tiles: int, qd: int, inner: int = 1, n_inst: int = 0,
-    probe: str = "",
+    gr: int = 4, probe: str = "",
 ):
     # refs (in order): rays_hbm (TILES*8*srows,128) f32 field-major/tile;
     # nodes_hbm upper tree (VMEM-staged); ablk_hbm field slabs (HBM);
@@ -686,6 +704,10 @@ def _cluster_kernel(
                     score = jnp.where(valid, t, _BIG)
                     tb = jnp.min(score, axis=0, keepdims=True)  # (1,128)
                     better = tb < bestr
+                    # (Gating the selects below behind a "did any lane
+                    # improve" cond measured a 1.55x REGRESSION — the
+                    # gate's own vector->scalar reduction serializes the
+                    # drain's issue stream; see PERF.md round-3.)
                     sel = (score == tb) & valid
                     kb = jnp.min(jnp.where(sel, ks, tcap), axis=0,
                                  keepdims=True)
@@ -696,8 +718,8 @@ def _cluster_kernel(
                                  keepdims=True)
                     # Single-hot metadata selects: selk has at most
                     # one true row per lane, so a masked SUM returns the
-                    # winner's value exactly — works for f32 fields and,
-                    # via bitcast, for arbitrary 32-bit ints.
+                    # winner's value exactly — works for f32 fields and
+                    # exact float-integer lanes.
                     def sel_f(col):
                         return jnp.sum(jnp.where(selk, col, 0.0), axis=0,
                                        keepdims=True)
@@ -734,11 +756,13 @@ def _cluster_kernel(
                         iib,
                     )
 
-            # Dense phases in groups of 4 ray rows behind ONE cond each:
-            # per-row conds cost ~as much executed-false as taken (the
-            # branch+merge dominates), so coarser groups keep the skip
-            # benefit where whole spans of the tile miss the cluster.
-            GR = 4
+            # Dense phases in groups of ``gr`` ray rows behind ONE cond
+            # each: per-row conds cost ~as much executed-false as taken
+            # (the branch+merge dominates), so coarser groups keep the
+            # skip benefit where whole spans of the tile miss the
+            # cluster.  At sub-pixel triangle density (1M+) clusters
+            # touch 1-2 rows and finer groups win — sweepable knob.
+            GR = gr
             NF = 10
             for g0 in range(0, srows, GR):
                 hi_r = min(g0 + GR, srows)
@@ -984,7 +1008,7 @@ def _cluster_kernel(
 
 def _call_cluster(rays_packed, nodes, ablocks, *, any_hit, interpret,
                   num_tiles, dummy_enc, srows, tcap, qd, inner=1,
-                  probe="", islab=None, iinv=None, ifwd=None):
+                  gr=4, probe="", islab=None, iinv=None, ifwd=None):
     from .traverse_pallas import _to_columnar
 
     # upper tree -> columnar blocks (NB, stride, 128): node fields run
@@ -998,7 +1022,7 @@ def _call_cluster(rays_packed, nodes, ablocks, *, any_hit, interpret,
     kern = functools.partial(
         _cluster_kernel, any_hit=any_hit, dummy_enc=dummy_enc,
         srows=srows, tcap=tcap, num_tiles=num_tiles, qd=qd, inner=inner,
-        probe=probe, n_inst=n_inst,
+        gr=gr, probe=probe, n_inst=n_inst,
     )
     hbm = pl.BlockSpec(memory_space=pl.ANY)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -1105,6 +1129,7 @@ CLUSTER_QD = 2       # cluster drains per traversal iteration
 CLUSTER_INNER = 1    # iterations per aliveness check (1 = plain while;
 #                      >1 measured NO win — the while-cond dependence is
 #                      not the binding cost; see PERF.md round-3 notes)
+CLUSTER_GR = 4       # ray rows per dense-phase cond group
 
 
 def cast_rays_cluster(
@@ -1116,26 +1141,38 @@ def cast_rays_cluster(
     srows: int = CLUSTER_SROWS,
     qd: int = CLUSTER_QD,
     inner: int = CLUSTER_INNER,
+    gr: int = CLUSTER_GR,
     probe: str = "",
+    return_per_ray: bool = False,
 ) -> tuple[Hits, RayStats, jnp.ndarray]:
     """Closest-hit / any-hit cast through the dense cluster kernel.
 
     Single jitted computation end-to-end (one device dispatch per cast).
     Exact f32 pair math (same error class as the sequential oracle).
-    Returns (hits, stats, occluded).
+    Returns (hits, stats, occluded); with ``return_per_ray`` appends a
+    dict of per-ray counters ({"tri_tests": (N,) int32} — the exact
+    dense-test work the kernel performed for each ray, the reference's
+    per-ray cost heatmap signal, stats.h:20-55) at zero extra cost.
     """
     if interpret is None:
         interpret = not _on_tpu()
-    return _cast_rays_cluster_jit(
+    out = _cast_rays_cluster_jit(
         rays, cs, query_mask=int(query_mask), any_hit=any_hit,
-        interpret=interpret, srows=srows, qd=qd, inner=inner, probe=probe,
+        interpret=interpret, srows=srows, qd=qd, inner=inner, gr=gr,
+        probe=probe,
     )
+    if probe:
+        return out
+    hits, stats, found, tt = out
+    if return_per_ray:
+        return hits, stats, found, {"tri_tests": tt}
+    return hits, stats, found
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("query_mask", "any_hit", "interpret", "srows",
-                     "qd", "inner", "probe"),
+                     "qd", "inner", "gr", "probe"),
 )
 def _cast_rays_cluster_jit(
     rays: Rays,
@@ -1147,6 +1184,7 @@ def _cast_rays_cluster_jit(
     srows: int,
     qd: int,
     inner: int,
+    gr: int,
     probe: str,
 ) -> tuple[Hits, RayStats, jnp.ndarray]:
     n = rays.count
@@ -1183,7 +1221,7 @@ def _cast_rays_cluster_jit(
         packed, cs.nodes, ablocks,
         any_hit=any_hit, interpret=interpret, num_tiles=num_tiles,
         dummy_enc=cs.dummy_enc, srows=srows, tcap=cs.tcap, qd=qd,
-        inner=inner, probe=probe,
+        inner=inner, gr=gr, probe=probe,
     )
     hits, found, tt = _hits_from_buffers(fout, iout, rays, num_tiles,
                                          srows, n)
@@ -1195,4 +1233,9 @@ def _cast_rays_cluster_jit(
     )
     if probe:
         return hits, stats, found, pops_tot[0, 1]
-    return hits, stats, found
+    # tt is the kernel's EXACT per-ray triangle-test count (the dense
+    # work actually performed for that ray's row groups) — the
+    # production-backend cost signal for HEATMAP/OVERHEAT
+    # (raytracer_debug.cpp:607-618) at frame scale, with zero overhead
+    # (the lane rides the existing i32 output slab).
+    return hits, stats, found, tt

@@ -33,6 +33,7 @@ parity is statistical, covered by tests comparing mean images.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -234,6 +235,32 @@ class WavefrontPathTracer:
     # ---- frame orchestration (gpu_path_tracer.cpp:241-283) ------------
     def trace_frame(self, rays: Rays, max_bounces: int = 3,
                     sample_index: int = 0) -> jnp.ndarray:
+        """One path-traced frame.
+
+        Production path: the WHOLE frame (generate + all extend/shade/
+        connect waves + finalize) compiles to ONE jitted dispatch when
+        the scene is a cluster-backend RayScene — the reference needs
+        4 kernel dispatches per bounce with compute barriers
+        (gpu_path_tracer.cpp:251-283); here the phases are XLA dataflow
+        inside one computation, so per-dispatch tunnel latency (~2 ms,
+        PERF.md) is paid once per frame instead of 4x/bounce.  Scenes
+        without cluster tables fall back to eager per-stage dispatch.
+        """
+        sc = self.scene
+        if (getattr(sc, "backend", None) == "cluster"
+                and getattr(sc, "cluster", None) is not None):
+            kw = (tuple(sorted(sc._cluster_kw().items()))
+                  if hasattr(sc, "_cluster_kw") else ())
+            return _wavefront_frame_cluster(
+                sc.tris, sc.cluster, self.lights, self.env,
+                self.materials, self.mat_id_of_prim, self.attributes,
+                self.atlas, rays, jnp.uint32(sample_index),
+                max_bounces=max_bounces, cluster_kw=kw,
+            )
+        return self._trace_frame_stages(rays, max_bounces, sample_index)
+
+    def _trace_frame_stages(self, rays: Rays, max_bounces: int = 3,
+                            sample_index: int = 0) -> jnp.ndarray:
         state = self.generate(rays, sample_index)
         for bounce in range(max_bounces + 1):
             hits = self.extend(state)
@@ -249,3 +276,40 @@ class WavefrontPathTracer:
                          sample_index: int = 0) -> jnp.ndarray:
         linear = self.trace_frame(rays, max_bounces, sample_index)
         return to_srgb(tonemap(linear, self.env.tonemap_mode))
+
+
+class _ClusterSceneShim:
+    """Minimal cast interface over cluster tables for the in-jit tracer."""
+
+    def __init__(self, tris, cluster, kw):
+        self.tris = tris
+        self.cluster = cluster
+        self.kw = dict(kw)
+
+    def cast_rays(self, rays: Rays, query_mask: int = -1):
+        from ..kernels.cluster import cast_rays_cluster
+
+        hits, stats, _ = cast_rays_cluster(
+            rays, self.cluster, int(query_mask), **self.kw
+        )
+        return hits, stats
+
+    def any_hit_rays(self, rays: Rays, query_mask: int = -1):
+        from ..kernels.cluster import cast_rays_cluster
+
+        _, _, occluded = cast_rays_cluster(
+            rays, self.cluster, int(query_mask), any_hit=True, **self.kw
+        )
+        return occluded
+
+
+@functools.partial(jax.jit, static_argnames=("max_bounces", "cluster_kw"))
+def _wavefront_frame_cluster(tris, cluster, lights, env, materials,
+                             mat_id_of_prim, attributes, atlas, rays,
+                             sample_index, *, max_bounces, cluster_kw):
+    """The whole wavefront frame as ONE compiled computation."""
+    shim = _ClusterSceneShim(tris, cluster, cluster_kw)
+    pt = WavefrontPathTracer(shim, lights, env, materials,
+                             mat_id_of_prim=mat_id_of_prim,
+                             attributes=attributes, atlas=atlas)
+    return pt._trace_frame_stages(rays, max_bounces, sample_index)

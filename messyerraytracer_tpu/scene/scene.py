@@ -93,6 +93,15 @@ class RayScene:
 
         return 8 if self.num_tris > 300_000 else SROWS
 
+    def _cluster_kw(self) -> dict:
+        """Density-routed cluster-kernel knobs (measured, PERF.md r3):
+        sub-pixel-density scenes (1M+) win from finer dense-phase row
+        groups (gr=2 cuts executed tri tests ~1.6x) and deeper drains;
+        super-pixel scenes keep the coarse defaults."""
+        if self.num_tris > 300_000:
+            return {"gr": 2, "qd": 4}
+        return {}
+
     def cast_rays(self, rays: Rays, query_mask=ALL_LAYERS) -> tuple[Hits, RayStats]:
         """Batched closest-hit cast (ray_scene.h:96-131 semantics).
 
@@ -110,7 +119,7 @@ class RayScene:
             return hits, stats
         if self.backend == "cluster" and self.cluster is not None:
             hits, stats, _ = cast_rays_cluster(
-                rays, self.cluster, int(query_mask)
+                rays, self.cluster, int(query_mask), **self._cluster_kw()
             )
             return hits, stats
         if self.backend == "pallas" and self.wide is not None:
@@ -133,7 +142,8 @@ class RayScene:
             return occluded
         if self.backend == "cluster" and self.cluster is not None:
             _, _, occluded = cast_rays_cluster(
-                rays, self.cluster, int(query_mask), any_hit=True
+                rays, self.cluster, int(query_mask), any_hit=True,
+                **self._cluster_kw(),
             )
             return occluded
         if self.backend == "pallas" and self.wide is not None:
@@ -227,9 +237,12 @@ def build_scene(v0, v1, v2, layers=None, prim_id=None, use_bvh=True,
     wide = None
     cluster = None
     if backend == "cluster":
+        from ..kernels.cluster import cluster_tcap_for
+
         cluster = build_cluster_scene(
             bvh, tris,
             _np=(pv0, e1, e2, nrm, prim_id[perm], layers[perm]),
+            tcap=cluster_tcap_for(t),
         )
     elif backend == "pallas":
         builder = build_wide8_scene if branching == 8 else build_wide_scene

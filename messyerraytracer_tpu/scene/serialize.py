@@ -114,9 +114,14 @@ def load_scene(path: str) -> RayScene:
         # refresh_cluster_scene, so rebuilding on load keeps checkpoints
         # small while the loaded scene casts through the SAME kernel (a
         # silent fallback to another backend would flip last-ulp t values).
-        from ..kernels.cluster import build_cluster_scene
+        from ..kernels.cluster import build_cluster_scene, cluster_tcap_for
 
-        cluster = build_cluster_scene(bvh, tris)
+        # Same density-routed tcap as build_scene (scene.py): a different
+        # cluster size means different anchors, which flips last-ulp t
+        # values vs the saved scene's casts.
+        cluster = build_cluster_scene(
+            bvh, tris, tcap=cluster_tcap_for(tris.count)
+        )
     return RayScene(
         tris=tris, bvh=bvh, wide=wide,
         use_bvh=bool(z["use_bvh"]),

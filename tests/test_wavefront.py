@@ -63,6 +63,75 @@ class TestWavefront:
         # statistical sanity: not everything fully lit (shadow exists)
         assert (img.sum(axis=1) < 1e-5).sum() > 3
 
+    def test_miss_at_bounce0_is_exact_sky(self):
+        # Rays that never hit anything must accumulate EXACTLY
+        # throughput(=1) * sky at bounce 0 and stay untouched by the
+        # deferred-NEE/finalize machinery (pt_shade.comp.glsl:598-647
+        # inactive-path semantics).
+        from messyerraytracer_tpu.render.shade import sky_color
+
+        scene, lights, env, mats, _ = setup_scene()
+        cam = CameraParams.look_at((0, 20, 0), (0, 30, 5), fov_degrees=50)
+        rays = generate_rays(cam, 8, 6)  # camera above the room, looking up
+        wf = WavefrontPathTracer(scene, lights, env, mats)
+        img = np.asarray(wf.trace_frame(rays, max_bounces=3))
+        expect = np.asarray(sky_color(rays.direction, env))
+        assert np.allclose(img, expect, rtol=1e-5, atol=1e-6)
+
+    def test_finalize_resolves_last_bounce_nee(self):
+        # At max_bounces the Shade stage still STORES pending NEE; only
+        # the finalize pass multiplies it by Connect's visibility
+        # (pt_shade.comp.glsl:598-635).  Replaying the stages by hand and
+        # dropping the finalize must lose that energy.
+        scene, lights, env, mats, rays = setup_scene()
+        env0 = make_environment(
+            sky_zenith=(0, 0, 0), sky_horizon=(0, 0, 0),
+            sky_ground=(0, 0, 0), ambient_energy=0.0,
+        )
+        wf = WavefrontPathTracer(scene, lights, env0, mats)
+        full = np.asarray(wf.trace_frame(rays, max_bounces=0))
+
+        state = wf.generate(rays, 0)
+        hits = wf.extend(state)
+        state = wf.shade(state, hits, 0, 0)
+        state = wf.connect(state)
+        without_finalize = np.asarray(state.accum)
+        with_finalize = np.asarray(
+            state.accum
+            + jnp.where(state.visibility[:, None], state.pending_nee, 0.0)
+        )
+        assert np.allclose(full, with_finalize, rtol=1e-5, atol=1e-6)
+        # the deferred direct light is REAL energy the finalize adds
+        assert with_finalize.sum() > without_finalize.sum() + 1e-3
+
+    def test_single_jit_frame_matches_eager_stages(self):
+        # The production single-dispatch jitted frame (cluster backend)
+        # must equal the eager per-stage path bit-for-bit in RNG usage
+        # (same PCG32 streams) and match numerically.
+        tris = np.concatenate(
+            [meshes.cornell_room(4.0),
+             meshes.uv_sphere(0.8, 8, 16, center=(0, -1.2, 0))]
+        )
+        scene = build_scene_from_tri_array(tris)  # cluster backend
+        _, lights, env, mats, rays = setup_scene()
+        wf = WavefrontPathTracer(scene, lights, env, mats)
+        jit_img = np.asarray(wf.trace_frame(rays, max_bounces=2,
+                                            sample_index=3))
+        eager_img = np.asarray(wf._trace_frame_stages(rays, max_bounces=2,
+                                                      sample_index=3))
+        assert np.allclose(jit_img, eager_img, rtol=1e-4, atol=1e-5)
+
+    def test_russian_roulette_terminates_and_stays_finite(self):
+        # RR from bounce 2 (pt_shade.comp.glsl:753-764): deep-bounce
+        # frames stay finite and unbiased-ish (energy does not blow up).
+        scene, lights, env, mats, rays = setup_scene()
+        wf = WavefrontPathTracer(scene, lights, env, mats)
+        img2 = np.asarray(wf.trace_frame(rays, max_bounces=2))
+        img8 = np.asarray(wf.trace_frame(rays, max_bounces=8))
+        assert np.isfinite(img8).all() and (img8 >= 0).all()
+        # extra bounces add bounded indirect energy, never runaway
+        assert img8.mean() < img2.mean() * 3 + 1.0
+
     def test_statistical_parity_vs_iterative(self):
         # Both integrators target the same estimator; their multi-sample
         # means must agree within Monte-Carlo noise.

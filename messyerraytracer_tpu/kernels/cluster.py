@@ -429,13 +429,13 @@ def _cluster_kernel(
     if n_inst:
         (rays_hbm, nodes_hbm, ablk_hbm, islab, iinv, ifwd,
          fout_hbm, iout_hbm, pops_out,
-         ray_buf, fbuf, ibuf, stack_ref, queue_ref, nodes_ref, qland,
-         colbc_ref, sems) = refs
+         ray_buf, fbuf, ibuf, stack_ref, queue_ref, qmask_ref, nodes_ref,
+         qland, colbc_ref, sems) = refs
     else:
         (rays_hbm, nodes_hbm, ablk_hbm,
          fout_hbm, iout_hbm, pops_out,
-         ray_buf, fbuf, ibuf, stack_ref, queue_ref, nodes_ref, qland,
-         colbc_ref, sems) = refs
+         ray_buf, fbuf, ibuf, stack_ref, queue_ref, qmask_ref, nodes_ref,
+         qland, colbc_ref, sems) = refs
         islab = iinv = ifwd = None
     """Packet traversal of the (small) upper tree + dense MXU cluster
     drains, single invocation over all ray tiles.
@@ -523,7 +523,7 @@ def _cluster_kernel(
                     for a in range(3))
         stack_ref[0, 0] = jnp.int32(0)   # root node index
 
-        def drain_one(li, slot_idx, st, real=None):
+        def drain_one(li, slot_idx, st, real=None, rowmask_in=None):
             """Dense intersection of the whole tile vs cluster ``li``
             whose field slab was prefetched into queue slot ``slot_idx``.
 
@@ -601,40 +601,43 @@ def _cluster_kernel(
                 OO, DD, DINV = O, D, INV
                 IDD = None  # unit directions
 
-            # Per-ray-row cull: one (srows,128) slab test of the cluster
-            # AABB (pre-broadcast rows T+1..T+6 of the slab — (1,128)
-            # vector operands, no scalar extracts) + ONE packed
-            # vector->scalar reduction -> a row bitmask; row groups with
-            # no potential hit skip their dense phases below (rays in a
-            # coherent tile are spatially compact per row, so most
-            # clusters touch few rows).
-            bcr = slot_idx * br + tcap + 1
-            cbx = qland[pl.ds(bcr, 1), :]
-            cby = qland[pl.ds(bcr + 1, 1), :]
-            cbz = qland[pl.ds(bcr + 2, 1), :]
-            cBx = qland[pl.ds(bcr + 3, 1), :]
-            cBy = qland[pl.ds(bcr + 4, 1), :]
-            cBz = qland[pl.ds(bcr + 5, 1), :]
-            t1 = (cbx - OO[0]) * DINV[0]
-            t2 = (cBx - OO[0]) * DINV[0]
-            rn = jnp.minimum(t1, t2)
-            rf = jnp.maximum(t1, t2)
-            t1 = (cby - OO[1]) * DINV[1]
-            t2 = (cBy - OO[1]) * DINV[1]
-            rn = jnp.maximum(rn, jnp.minimum(t1, t2))
-            rf = jnp.minimum(rf, jnp.maximum(t1, t2))
-            t1 = (cbz - OO[2]) * DINV[2]
-            t2 = (cBz - OO[2]) * DINV[2]
-            rn = jnp.maximum(rn, jnp.minimum(t1, t2))
-            rf = jnp.minimum(rf, jnp.maximum(t1, t2))
-            # cap is world-t; rn/rf are world-parameterized too (the
-            # object direction is NOT renormalized)
-            rhit = (rf >= jnp.maximum(rn, 0.0)) & (rn <= cap)
-            rowany = jnp.max(rhit.astype(jnp.int32), axis=1,
-                             keepdims=True)               # (srows,1)
-            wbit = jax.lax.broadcasted_iota(
-                jnp.int32, (srows, 1), 0)
-            rowmask = jnp.sum(rowany << wbit)             # ONE reduction
+            # Per-ray-row cull.  srows <= 16 (production tiles): the pop
+            # already slab-tested this cluster's AABB per row — its
+            # packed row bitmask rode the queue, so the drain does NO
+            # geometry retest (push-time cap instead of drain-time cap:
+            # strictly more rows may run, never fewer — parity safe).
+            # Wider tiles recompute the mask from the pre-broadcast AABB
+            # rows T+1..T+6 of the slab.
+            if srows <= 16 and rowmask_in is not None:
+                rowmask = rowmask_in
+            else:
+                bcr = slot_idx * br + tcap + 1
+                cbx = qland[pl.ds(bcr, 1), :]
+                cby = qland[pl.ds(bcr + 1, 1), :]
+                cbz = qland[pl.ds(bcr + 2, 1), :]
+                cBx = qland[pl.ds(bcr + 3, 1), :]
+                cBy = qland[pl.ds(bcr + 4, 1), :]
+                cBz = qland[pl.ds(bcr + 5, 1), :]
+                t1 = (cbx - OO[0]) * DINV[0]
+                t2 = (cBx - OO[0]) * DINV[0]
+                rn = jnp.minimum(t1, t2)
+                rf = jnp.maximum(t1, t2)
+                t1 = (cby - OO[1]) * DINV[1]
+                t2 = (cBy - OO[1]) * DINV[1]
+                rn = jnp.maximum(rn, jnp.minimum(t1, t2))
+                rf = jnp.minimum(rf, jnp.maximum(t1, t2))
+                t1 = (cbz - OO[2]) * DINV[2]
+                t2 = (cBz - OO[2]) * DINV[2]
+                rn = jnp.maximum(rn, jnp.minimum(t1, t2))
+                rf = jnp.minimum(rf, jnp.maximum(t1, t2))
+                # cap is world-t; rn/rf are world-parameterized too (the
+                # object direction is NOT renormalized)
+                rhit = (rf >= jnp.maximum(rn, 0.0)) & (rn <= cap)
+                rowany = jnp.max(rhit.astype(jnp.int32), axis=1,
+                                 keepdims=True)           # (srows,1)
+                wbit = jax.lax.broadcasted_iota(
+                    jnp.int32, (srows, 1), 0)
+                rowmask = jnp.sum(rowany << wbit)         # ONE reduction
 
             # (T,1) field columns; every bilinear form below is a lane-
             # broadcast (T,1)x(1,128) op over the full pair grid
@@ -799,16 +802,19 @@ def _cluster_kernel(
             qlen = qt - qh
             for j in range(qd):  # qd=0 compiles the drains out entirely
                 li = queue_ref[0, (qh + j) & qmask]
+                qm = (qmask_ref[0, (qh + j) & qmask] if srows <= 16
+                      else None)
                 st11 = (cap, best, uu, vv, tt, nx, ny, nz, pid, lay, ii)
                 if probe == "nocond":
                     # timing probe: drain unconditionally (garbage data on
                     # empty queue — wrong results, isolates cond cost)
                     st11 = drain_one(li, (qh + j) & qmask, st11,
-                                     real=j < qlen)
+                                     real=j < qlen, rowmask_in=qm)
                 else:
                     st11 = jax.lax.cond(
                         j < qlen,
-                        functools.partial(drain_one, li, (qh + j) & qmask),
+                        functools.partial(drain_one, li, (qh + j) & qmask,
+                                          rowmask_in=qm),
                         lambda s: s, st11,
                     )
                 (cap, best, uu, vv, tt, nx, ny, nz, pid, lay, ii) = st11
@@ -854,24 +860,56 @@ def _cluster_kernel(
                 tf = jnp.minimum(tf, jnp.maximum(t1, t2))
                 return (tf >= jnp.maximum(tn_, 0.0)) & (tn_ <= cap)
 
-            # 8 child tests -> two packed scalar reductions (the CWBVH
-            # two-4-child-batch move, cwbvh_traverse.comp.glsl:260-323)
-            lo = hi = None
-            for k in range(WIDE8_CAP):
-                hk = slab_hit(6 * k)
-                col = jnp.max(hk.astype(jnp.int32), axis=0, keepdims=True)
-                term = col * (1 << (8 * (k % 4)))
-                if k < 4:
-                    lo = term if lo is None else lo + term
-                else:
-                    hi = term if hi is None else hi + term
-            m_lo = jnp.sum(lo)
-            m_hi = jnp.sum(hi)
-            anyk = [
-                (jax.lax.shift_right_logical(
-                    m_lo if k < 4 else m_hi, 8 * (k % 4)) & 255) > 0
-                for k in range(WIDE8_CAP)
-            ]
+            if srows <= 16:
+                # 8 child tests -> per-child ROW bitmasks packed two
+                # children per int32 (4 packed scalar reductions).  The
+                # masks ride the queue so drains skip the cluster-AABB
+                # retest entirely (its ~27 vector ops + 1 reduction were
+                # a measured chunk of the drain's fixed cost, PERF.md
+                # r3); anyk falls out of the mask for free.  Bit
+                # (16*half + r) is set by exactly one (row, child), so
+                # int32 wraparound at bit 31 is harmless.
+                rowbit = jax.lax.broadcasted_iota(
+                    jnp.int32, (srows, 1), 0)
+                packed = []
+                for pair in range(WIDE8_CAP // 2):
+                    a = slab_hit(6 * (2 * pair))
+                    b = slab_hit(6 * (2 * pair + 1))
+                    acc = (jnp.max(a.astype(jnp.int32), axis=1,
+                                   keepdims=True) << rowbit)
+                    acc = acc + (jnp.max(b.astype(jnp.int32), axis=1,
+                                         keepdims=True)
+                                 << (rowbit + 16))
+                    packed.append(jnp.sum(acc))
+                rowmasks = [
+                    jax.lax.shift_right_logical(
+                        packed[k // 2], 16 * (k % 2)) & 0xFFFF
+                    for k in range(WIDE8_CAP)
+                ]
+                anyk = [rm > 0 for rm in rowmasks]
+            else:
+                # wide tiles: masks don't fit an int32 half; keep the
+                # two packed any-reductions (CWBVH two-4-child-batch
+                # move, cwbvh_traverse.comp.glsl:260-323) and let the
+                # drain compute its own row cull
+                lo = hi = None
+                for k in range(WIDE8_CAP):
+                    hk = slab_hit(6 * k)
+                    col = jnp.max(hk.astype(jnp.int32), axis=0,
+                                  keepdims=True)
+                    term = col * (1 << (8 * (k % 4)))
+                    if k < 4:
+                        lo = term if lo is None else lo + term
+                    else:
+                        hi = term if hi is None else hi + term
+                m_lo = jnp.sum(lo)
+                m_hi = jnp.sum(hi)
+                anyk = [
+                    (jax.lax.shift_right_logical(
+                        m_lo if k < 4 else m_hi, 8 * (k % 4)) & 255) > 0
+                    for k in range(WIDE8_CAP)
+                ]
+                rowmasks = [jnp.int32(0)] * WIDE8_CAP
             encs = [rot[48 + k, 0].astype(jnp.int32)
                     for k in range(WIDE8_CAP)]
             axis = rot[56, 0].astype(jnp.int32)
@@ -880,14 +918,15 @@ def _cluster_kernel(
             )
             order = tuple(
                 (jnp.where(fwd, encs[j], encs[WIDE8_CAP - 1 - j]),
-                 jnp.where(fwd, anyk[j], anyk[WIDE8_CAP - 1 - j]))
+                 jnp.where(fwd, anyk[j], anyk[WIDE8_CAP - 1 - j]),
+                 jnp.where(fwd, rowmasks[j], rowmasks[WIDE8_CAP - 1 - j]))
                 for j in range(WIDE8_CAP - 1, -1, -1)
             )
 
             # Route children: clusters -> queue (+ START their A-block
             # DMA), internals -> stack.  Untaken writes land in the
             # sacrificial lane (queue QCAP / stack KSTACK).
-            for e_j, h_j in order:
+            for e_j, h_j, rm_j in order:
                 isleaf = (e_j & 1) == 1
                 tgt = jax.lax.shift_right_logical(e_j, 1)
                 wq = h_j & isleaf
@@ -895,6 +934,8 @@ def _cluster_kernel(
                     wq = wq & (qt < 0)  # never true: pure pop-loop probe
                 if probe != "noqueue":
                     queue_ref[0, jnp.where(wq, qt & qmask, QCAP)] = tgt
+                    if srows <= 16:
+                        qmask_ref[0, jnp.where(wq, qt & qmask, QCAP)] = rm_j
 
                 if probe not in ("nodma", "nopush", "spin", "noqueue",
                                  "noout"):
@@ -1045,6 +1086,7 @@ def _call_cluster(rays_packed, nodes, ablocks, *, any_hit, interpret,
             pltpu.VMEM((2 * irows, 128), jnp.int32),     # i32 out (dbuf)
             pltpu.SMEM((1, KSTACK + 1), jnp.int32),      # + sacrificial
             pltpu.SMEM((1, QCAP + 1), jnp.int32),        # ring + sacrificial
+            pltpu.SMEM((1, QCAP + 1), jnp.int32),        # per-entry rowmasks
             pltpu.VMEM(nodes.shape, jnp.float32),        # upper tree (columnar)
             pltpu.VMEM((QCAP * br, 128), jnp.float32),   # field-slab landings
             pltpu.VMEM((NODE8_STRIDE, 128), jnp.float32),  # node broadcast

@@ -83,7 +83,7 @@ class WavefrontPathTracer:
 
     def __init__(self, scene, lights: Lights | None, env: EnvironmentData,
                  materials: Materials, mat_id_of_prim=None,
-                 attributes=None, atlas=None):
+                 attributes=None, atlas=None, bounds=None):
         self.scene = scene
         self.lights = lights
         self.env = env
@@ -91,6 +91,13 @@ class WavefrontPathTracer:
         self.mat_id_of_prim = mat_id_of_prim
         self.attributes = attributes
         self.atlas = atlas
+        # scene AABB for the bounce-wave coherence sort; defaults to the
+        # scene BVH root when available
+        if bounds is None:
+            bvh = getattr(scene, "bvh", None)
+            if bvh is not None:
+                bounds = (bvh.aabb_min[0], bvh.aabb_max[0])
+        self.bounds = bounds
 
     def _mat_ids(self, hits):
         pid = jnp.maximum(hits.prim_id, 0)
@@ -122,19 +129,40 @@ class WavefrontPathTracer:
         )
 
     # ---- Extend (cwbvh RAY_MODE=0 dispatch) ---------------------------
-    def extend(self, state: WavefrontState):
+    def extend(self, state: WavefrontState, sort: bool = False):
         cast = Rays(
             origin=state.ray.origin,
             direction=state.ray.direction,
             t_min=state.ray.t_min,
             t_max=jnp.where(state.active, state.ray.t_max, -1.0),
         )
+        if sort and self.bounds is not None:
+            # Bounce waves are incoherent (hemisphere-sampled
+            # directions); the octant-major 6D sort re-packs them into
+            # direction-consensus tiles before the cast — the
+            # dispatcher's incoherent path (ray_dispatcher.h:130-150)
+            # applied inside the PT frame jit.
+            from ..dispatch.morton import sort_rays_6d, unshuffle_hits
+
+            sorted_rays, perm = sort_rays_6d(cast, *self.bounds)
+            hits, _ = self.scene.cast_rays(sorted_rays)
+            return unshuffle_hits(hits, perm)
         hits, _ = self.scene.cast_rays(cast)
         return hits
 
     # ---- Connect (cwbvh RAY_MODE=1 dispatch) --------------------------
-    def connect(self, state: WavefrontState) -> WavefrontState:
-        occluded = self.scene.any_hit_rays(state.shadow_ray)
+    def connect(self, state: WavefrontState,
+                sort: bool = False) -> WavefrontState:
+        if sort and self.bounds is not None:
+            from ..dispatch.morton import sort_rays_6d, unshuffle_flags
+
+            sorted_rays, perm = sort_rays_6d(state.shadow_ray,
+                                             *self.bounds)
+            occluded = unshuffle_flags(
+                self.scene.any_hit_rays(sorted_rays), perm
+            )
+        else:
+            occluded = self.scene.any_hit_rays(state.shadow_ray)
         return state.replace(visibility=~occluded & state.shadow_valid)
 
     # ---- Shade (pt_shade.comp.glsl:588-775) ---------------------------
@@ -252,7 +280,7 @@ class WavefrontPathTracer:
             kw = (tuple(sorted(sc._cluster_kw().items()))
                   if hasattr(sc, "_cluster_kw") else ())
             return _wavefront_frame_cluster(
-                sc.tris, sc.cluster, self.lights, self.env,
+                sc.tris, sc.cluster, self.bounds, self.lights, self.env,
                 self.materials, self.mat_id_of_prim, self.attributes,
                 self.atlas, rays, jnp.uint32(sample_index),
                 max_bounces=max_bounces, cluster_kw=kw,
@@ -263,9 +291,11 @@ class WavefrontPathTracer:
                             sample_index: int = 0) -> jnp.ndarray:
         state = self.generate(rays, sample_index)
         for bounce in range(max_bounces + 1):
-            hits = self.extend(state)
+            # bounce-0 primaries are camera-coherent already; later
+            # waves get the octant-major coherence sort
+            hits = self.extend(state, sort=bounce > 0)
             state = self.shade(state, hits, bounce, max_bounces)
-            state = self.connect(state)
+            state = self.connect(state, sort=bounce > 0)
         # finalize-Shade: resolve the last bounce's deferred NEE
         accum = state.accum + jnp.where(
             state.visibility[:, None], state.pending_nee, 0.0
@@ -304,12 +334,14 @@ class _ClusterSceneShim:
 
 
 @functools.partial(jax.jit, static_argnames=("max_bounces", "cluster_kw"))
-def _wavefront_frame_cluster(tris, cluster, lights, env, materials,
-                             mat_id_of_prim, attributes, atlas, rays,
-                             sample_index, *, max_bounces, cluster_kw):
+def _wavefront_frame_cluster(tris, cluster, bounds, lights, env,
+                             materials, mat_id_of_prim, attributes, atlas,
+                             rays, sample_index, *, max_bounces,
+                             cluster_kw):
     """The whole wavefront frame as ONE compiled computation."""
     shim = _ClusterSceneShim(tris, cluster, cluster_kw)
     pt = WavefrontPathTracer(shim, lights, env, materials,
                              mat_id_of_prim=mat_id_of_prim,
-                             attributes=attributes, atlas=atlas)
+                             attributes=attributes, atlas=atlas,
+                             bounds=bounds)
     return pt._trace_frame_stages(rays, max_bounces, sample_index)

@@ -46,10 +46,14 @@ def block_swizzled_frame_rays(mrt, w, h, cam):
 
 
 def subsample(rays, n):
+    """Strided sample covering the WHOLE frame.  The first n rays of a
+    block-swizzled frame are the top-left sky blocks (all-miss), which
+    made the parity gates near-vacuous and per-ray stats zero."""
     from messyerraytracer_tpu.core.types import Rays
 
-    return Rays(origin=rays.origin[:n], direction=rays.direction[:n],
-                t_min=rays.t_min[:n], t_max=rays.t_max[:n])
+    idx = np.arange(n, dtype=np.int32) * (rays.count // n)
+    return Rays(origin=rays.origin[idx], direction=rays.direction[idx],
+                t_min=rays.t_min[idx], t_max=rays.t_max[idx])
 
 
 def parity(hs, hb, rtol=1e-5):
@@ -159,9 +163,24 @@ def main():
 
     # flattened comparison (the VERDICT-4 contract: instanced >= 50% of
     # the flattened path's throughput, with memory ~ meshes not tris)
-    dt_flat, _ = timed(lambda: flat_scene.cast_rays(rays), fence_hits, 5)
+    dt_flat, out_flat = timed(lambda: flat_scene.cast_rays(rays),
+                              fence_hits, 5)
     hsf, _ = flat_scene.cast_rays(sub)
     parity_flat_1m = parity(hsf, hb)
+
+    # footprint-inflation contract (VERDICT item 2): the cluster kernel's
+    # measured tri-tests/ray at 1M vs the per-ray-exact traversal need
+    # (frontier dense BFS on a subsample — what a per-ray traversal would
+    # test, stats.h:13-16 yardsticks)
+    tri_per_ray_1m = float(out_flat[1].tri_tests) / n
+    try:
+        from messyerraytracer_tpu.accel.frontier import cast_rays_frontier
+
+        _, fstats, _ = cast_rays_frontier(
+            subsample(rays, 2048), flat_scene.frontier, flat_scene.tris)
+        tri_per_ray_exact_1m = float(fstats.tri_tests) / 2048.0
+    except Exception:
+        tri_per_ray_exact_1m = float("nan")
     extra.update({
         "instances": n_inst,
         "meshes": 4,
@@ -175,6 +194,8 @@ def main():
         "parity_1m_flat": parity_flat_1m,
         "build_1m_flat_s": round(build_flat_s, 2),
         "instanced_vs_flat": round(dt_flat / dt, 3),
+        "tri_per_ray_1m": round(tri_per_ray_1m, 1),
+        "tri_per_ray_exact_1m": round(tri_per_ray_exact_1m, 1),
     })
 
     # warm rebuild (same shapes -> cached jits; the real build cost)
@@ -214,6 +235,7 @@ def main():
         "parity_99k": parity(hs99, hb99),
         "tris_99k": int(scene99.num_tris),
         "pops_99k": int(pops),
+        "tri_per_ray_99k": round(float(stats99.tri_tests) / rays99.count, 1),
         "issued_vpu_gflop_per_frame": round(issued_gflop, 2),
         "vpu_peak_frac": round((issued_gflop / dt99) / 3900.0, 4),
     })

@@ -132,6 +132,31 @@ class TestWavefront:
         # extra bounces add bounded indirect energy, never runaway
         assert img8.mean() < img2.mean() * 3 + 1.0
 
+    def test_sorted_waves_exact_vs_unsorted(self):
+        # The in-frame octant-major coherence sort of bounce/shadow waves
+        # (ray_dispatcher.h:130-150 semantics applied inside the PT
+        # frame) is a pure permutation: sort -> cast -> unshuffle must be
+        # EXACTLY the unsorted cast, hit-for-hit.
+        tris = np.concatenate(
+            [meshes.cornell_room(4.0),
+             meshes.uv_sphere(0.8, 8, 16, center=(0, -1.2, 0))]
+        )
+        scene = build_scene_from_tri_array(tris)
+        _, lights, env, mats, rays = setup_scene()
+        wf = WavefrontPathTracer(scene, lights, env, mats)
+        assert wf.bounds is not None  # scene BVH root wired as sort bounds
+        state = wf.generate(rays, 5)
+        hits = wf.extend(state)
+        state = wf.shade(state, hits, 0, 2)  # makes incoherent bounce rays
+        h_uns = wf.extend(state, sort=False)
+        h_srt = wf.extend(state, sort=True)
+        assert np.array_equal(np.asarray(h_uns.prim_id),
+                              np.asarray(h_srt.prim_id))
+        assert np.array_equal(np.asarray(h_uns.t), np.asarray(h_srt.t))
+        v_uns = np.asarray(wf.connect(state, sort=False).visibility)
+        v_srt = np.asarray(wf.connect(state, sort=True).visibility)
+        assert np.array_equal(v_uns, v_srt)
+
     def test_statistical_parity_vs_iterative(self):
         # Both integrators target the same estimator; their multi-sample
         # means must agree within Monte-Carlo noise.

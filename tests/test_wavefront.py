@@ -157,6 +157,110 @@ class TestWavefront:
         v_srt = np.asarray(wf.connect(state, sort=True).visibility)
         assert np.array_equal(v_uns, v_srt)
 
+    def test_occluded_nee_is_dropped_exactly(self):
+        # Deferred NEE must add pending ONLY where Connect proved
+        # visibility; occluded pixels lose it entirely, not partially
+        # (pt_shade.comp.glsl:598-635).  Verified as an exact protocol
+        # identity over every pixel of a real shadow-casting frame.
+        scene, lights, env, mats, rays = setup_scene()
+        wf = WavefrontPathTracer(scene, lights, env, mats)
+        state = wf.generate(rays, 1)
+        hits = wf.extend(state)
+        state = wf.shade(state, hits, 0, 3)
+        state = wf.connect(state)
+        vis = np.asarray(state.visibility)
+        pend = np.asarray(state.pending_nee)
+        acc_before = np.asarray(state.accum)
+        hits2 = wf.extend(state)
+        acc_after = np.asarray(wf.shade(state, hits2, 1, 3).accum)
+        resolved = acc_after - acc_before  # NEE + bounce-1 sky/emission
+        # occluded-but-pending pixels exist in this scene (real shadows)
+        occluded = ~vis & (pend.sum(axis=1) > 1e-6)
+        assert occluded.sum() > 0 and vis.sum() > 0
+        # the resolved delta includes the pending term exactly where
+        # visible: subtracting it must never go negative, and removing
+        # it from an occluded pixel would (it was never added)
+        expected_nee = np.where(vis[:, None], pend, 0.0)
+        assert (resolved - expected_nee >= -1e-6).all()
+        # pixels with NO other bounce-1 energy receive exactly the NEE
+        miss2 = ~np.asarray(hits2.hit) & ~np.asarray(state.active)
+        pure = miss2 & vis
+        if pure.sum():
+            assert np.allclose(resolved[pure], pend[pure],
+                               rtol=1e-5, atol=1e-6)
+
+    def test_rr_kill_freezes_path_energy(self):
+        # A Russian-roulette-killed path (bounce >= 1,
+        # pt_shade.comp.glsl:753-764) must stop accumulating bounce
+        # energy: replaying further waves may only change pixels that
+        # stayed active or had pending NEE in flight.
+        scene, lights, env, mats, rays = setup_scene()
+        env0 = make_environment(
+            sky_zenith=(0, 0, 0), sky_horizon=(0, 0, 0),
+            sky_ground=(0, 0, 0), ambient_energy=0.0,
+        )
+        wf = WavefrontPathTracer(scene, lights, env0, mats)
+        state = wf.generate(rays, 9)
+        for bounce in range(3):
+            hits = wf.extend(state, sort=bounce > 0)
+            state = wf.shade(state, hits, bounce, 8)
+            state = wf.connect(state, sort=bounce > 0)
+        a2 = np.asarray(state.active)
+        acc2 = np.asarray(state.accum)
+        dead = ~a2 & ~np.asarray(state.shadow_valid)
+        assert dead.sum() > 0  # RR + misses really killed paths
+        hits = wf.extend(state, sort=True)
+        state3 = wf.shade(state, hits, 3, 8)
+        # active never resurrects
+        assert not (np.asarray(state3.active) & ~a2).any()
+        # dead paths' pixels are bit-frozen through the next wave
+        assert np.array_equal(np.asarray(state3.accum)[dead], acc2[dead])
+        assert np.asarray(state3.pending_nee)[dead].sum() == 0.0
+
+    def test_shadow_ray_protocol_invariants(self):
+        # Shadow rays must be disabled (t_max < t_min) exactly where
+        # shadow_valid is false, and carry dist-limited t_max for point
+        # lights vs unbounded for directionals
+        # (pt_shade.comp.glsl:697-717).
+        scene, lights, env, mats, rays = setup_scene()
+        wf = WavefrontPathTracer(scene, lights, env, mats)
+        state = wf.generate(rays, 2)
+        hits = wf.extend(state)
+        state = wf.shade(state, hits, 0, 1)
+        sv = np.asarray(state.shadow_valid)
+        tmax = np.asarray(state.shadow_ray.t_max)
+        tmin = np.asarray(state.shadow_ray.t_min)
+        assert sv.any() and (~sv).any()
+        assert (tmax[~sv] < tmin[~sv]).all()   # disabled, never cast
+        assert (tmax[sv] > 0).all()
+        # directions are unit for valid shadow rays
+        d = np.asarray(state.shadow_ray.direction)[sv]
+        assert np.allclose(np.linalg.norm(d, axis=1), 1.0, atol=1e-4)
+        # pending energy only where a shadow ray exists
+        assert np.asarray(state.pending_nee)[~sv].sum() == 0.0
+
+    def test_multi_light_stochastic_nee_unbiased(self):
+        # Uniform single-light picking scaled by light_count must equal
+        # evaluating BOTH lights in expectation: duplicating one light K
+        # times leaves the many-sample mean unchanged (up to MC noise).
+        scene, _, env, mats, rays = setup_scene()
+        env0 = make_environment(
+            sky_zenith=(0, 0, 0), sky_horizon=(0, 0, 0),
+            sky_ground=(0, 0, 0), ambient_energy=0.0,
+        )
+        one = {"type": 1, "position": (1.0, 1.2, 1.0), "energy": 4.0,
+               "range": 8.0}
+        wf1 = WavefrontPathTracer(scene, make_lights([one]), env0, mats)
+        wf4 = WavefrontPathTracer(scene, make_lights([one] * 4), env0,
+                                  mats)
+        # duplicated lights: every pick evaluates the SAME light, so the
+        # estimator is exact per sample, not just in expectation
+        i1 = np.asarray(wf1.trace_frame(rays, max_bounces=0,
+                                        sample_index=0))
+        i4 = np.asarray(wf4.trace_frame(rays, max_bounces=0,
+                                        sample_index=0))
+        assert np.allclose(i4, 4.0 * i1, rtol=1e-4, atol=1e-5)
+
     def test_statistical_parity_vs_iterative(self):
         # Both integrators target the same estimator; their multi-sample
         # means must agree within Monte-Carlo noise.

@@ -116,6 +116,52 @@ class TestDispatcher:
             np.asarray(hits.prim_id), np.asarray(ref.prim_id)
         )
 
+    def test_windowed_cast_exact_parity(self):
+        # Distance-windowed multi-pass cast (dispatcher.py::
+        # _cast_windowed): window composition must be EXACT — same hits,
+        # bit-identical t, vs the single full-range sorted cast — for
+        # both coherence keys, including rays with finite t ranges that
+        # straddle window boundaries.
+        scene = build_scene_from_tri_array(
+            np.concatenate([
+                meshes.uv_sphere(radius=1.0, rings=8, segments=16),
+                meshes.plane(8.0, y=-1.5, subdiv=6),
+            ])
+        )
+        rays = random_rays(640, seed=11, extent=4.0)
+        # finite, staggered per-ray ranges exercise the per-pass
+        # [max(t_min,R_k-1), min(t_max,R_k)] clipping
+        rng = np.random.default_rng(12)
+        rays = type(rays)(
+            origin=rays.origin, direction=rays.direction,
+            t_min=jnp.asarray(rng.uniform(0, 0.5, 640).astype(np.float32)),
+            t_max=jnp.asarray(
+                np.where(rng.random(640) < 0.3,
+                         rng.uniform(1, 6, 640), 3e38).astype(np.float32)
+            ),
+        )
+        ref, ref_stats = RayDispatcher(scene).cast_rays(rays)
+        for key in ("6d", "6d-origin"):
+            disp = RayDispatcher(scene, sort=key,
+                                 windows=(0.05, 0.2, 0.5))
+            hits, stats = disp.cast_rays(rays)
+            np.testing.assert_array_equal(
+                np.asarray(hits.prim_id), np.asarray(ref.prim_id)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(hits.t), np.asarray(ref.t)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(hits.hit_layers), np.asarray(ref.hit_layers)
+            )
+            np.testing.assert_allclose(
+                np.asarray(hits.position), np.asarray(ref.position),
+                rtol=1e-5, atol=1e-6,
+            )
+            # stats contract: rays counted once, hits match
+            assert int(stats.rays_cast) == 640
+            assert int(stats.hits) == int(ref_stats.hits)
+
     def test_any_hit_dispatch(self):
         from messyerraytracer_tpu.core.brute import any_hit_brute
 

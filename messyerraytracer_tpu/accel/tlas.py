@@ -168,6 +168,10 @@ class SceneTLAS:
         scene = build_scene(
             tri_array[:, 0], tri_array[:, 1], tri_array[:, 2],
             layers=layers, backend=self.backend,
+            # meshes are small by the memory~meshes contract: numpy slab
+            # assembly avoids one remote-XLA refresh compile PER MESH
+            # SHAPE (the round-3 83.9 s instanced cold build)
+            host_arrange=True,
         )
         self.meshes.append(MeshBLAS(scene, tri_array))
         self._two_level = None  # frontier tables embed the mesh forest
@@ -317,23 +321,27 @@ class SceneTLAS:
         Memory scales with registered MESHES (object-space cluster slabs
         are shared by all instances of a mesh) — the reference's native
         TLAS memory contract (scene_tlas.h:140-176) on the production
-        TPU kernel.  Per-instance layer masks are not representable in
-        the shared slabs; fall back to the flat/frontier paths when any
-        instance carries a non-default mask."""
+        TPU kernel.  Layer semantics match the flattened path: effective
+        per-triangle layers = tri_layers & instance_layers
+        (ray_scene.h:124, triangle.h:22-56); instances with distinct
+        masks get their own slab group (memory ~ distinct (mesh, mask)
+        combinations)."""
         from ..kernels.cluster import TCAP_DEFAULT
         from ..kernels.cluster_tlas import build_cluster_tlas
 
-        if any(i.layers != ALL_LAYERS for i in self.instances):
-            raise ValueError(
-                "instanced cluster path does not support per-instance "
-                "layer masks (slabs are shared across instances); use "
-                "cast_rays / cast_rays_two_level_fast"
-            )
         mesh_tris = [m.tri_array for m in self.meshes]
+        mesh_layers = []
+        for m in self.meshes:
+            perm = _bvh_host(m.scene.bvh, "tri_order")
+            unperm = np.empty_like(perm)
+            unperm[perm] = np.arange(perm.shape[0], dtype=perm.dtype)
+            mesh_layers.append(np.asarray(m.scene.tris.layers)[unperm])
         instances = [(i.blas_id, i.transform) for i in self.instances]
         self._ctlas = build_cluster_tlas(
             mesh_tris, instances,
             tcap=TCAP_DEFAULT if tcap is None else tcap,
+            mesh_layers=mesh_layers,
+            inst_layers=[i.layers for i in self.instances],
         )
         base = np.zeros(len(self.instances), np.int64)
         acc = 0

@@ -28,6 +28,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.types import ALL_LAYERS, Hits, Rays, RayStats
 from ..scene.scene import RayScene
@@ -71,6 +72,26 @@ class RayDispatcher:
             return self.scene
         return dataclasses.replace(self.scene, backend=self.backend)
 
+    def _scene_diag(self, scene) -> float:
+        """Scene-AABB diagonal, cached per BVH (constant per scene — the
+        per-cast device norm + host readback serialized the pass
+        pipeline)."""
+        cache = getattr(self, "_diag_cache", None)
+        if cache is None:
+            cache = {}
+            object.__setattr__(self, "_diag_cache", cache)
+        key = id(scene.bvh)
+        if key not in cache:
+            host = getattr(scene.bvh, "host", None)
+            if host is not None:
+                lo, hi = host["aabb_min"][0], host["aabb_max"][0]
+                cache[key] = float(np.linalg.norm(hi - lo))
+            else:
+                lo = scene.bvh.aabb_min[0]
+                hi = scene.bvh.aabb_max[0]
+                cache[key] = float(jnp.linalg.norm(hi - lo))
+        return cache[key]
+
     def _sorted(self, rays: Rays):
         if self.sort in ("6d", "6d-origin"):
             bvh = getattr(self.scene, "bvh", None)
@@ -108,9 +129,14 @@ class RayDispatcher:
         to the next power of two so recompiles stay O(log N) per scene.
         """
         n = rays.count
-        lo, hi = scene.bvh.aabb_min[0], scene.bvh.aabb_max[0]
-        diag = float(jnp.linalg.norm(hi - lo))
-        radii = [diag * f for f in self.windows] + [float("inf")]
+        diag = self._scene_diag(scene)
+        # normalize: ascending, deduped, positive — mis-ordered or
+        # duplicate fractions would re-search ranges proven empty
+        # (full extra casts for nothing)
+        fracs = sorted({float(f) for f in self.windows})
+        assert all(f > 0.0 for f in fracs), \
+            f"window fractions must be > 0, got {self.windows}"
+        radii = [diag * f for f in fracs] + [float("inf")]
         o, d = rays.origin, rays.direction
         tmin0, tmax0 = rays.t_min, rays.t_max
 

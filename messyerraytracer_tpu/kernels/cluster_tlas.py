@@ -147,26 +147,54 @@ def _pair_world_aabbs(obj_min, obj_max, iinv_rows_fwd):
 
 
 def build_cluster_tlas(mesh_tris: list, instances: list,
-                       tcap: int = TCAP_DEFAULT) -> ClusterTLAS:
+                       tcap: int = TCAP_DEFAULT,
+                       mesh_layers: list | None = None,
+                       inst_layers: list | None = None) -> ClusterTLAS:
     """Build the instanced structure.
 
     mesh_tris: list of (T, 3, 3) float vertex arrays (object space).
     instances: list of (mesh_id, transform) with transform (3,4)/(4,4).
+    mesh_layers: optional per-mesh (T,) int32 per-triangle layer bitmasks
+    (original triangle order); inst_layers: optional per-instance masks.
+
+    Layer semantics match the flattened scene: a triangle's effective
+    layers = tri_layers & instance_layers (filter-during-traversal,
+    ray_scene.h:124; per-tri layers triangle.h:22-56).  Instances are
+    grouped by (mesh, inst_mask): each distinct combination gets slabs
+    with the effective layers baked into the exact-float metadata lanes,
+    so memory scales with distinct (mesh, mask) groups — equal to the
+    mesh count in the common all-default case.
     """
     ni = len(instances)
     if ni == 0 or ni > MAX_INSTANCES:
         raise ValueError(f"instances must be 1..{MAX_INSTANCES}")
     br = tcap + 8
 
-    # ---- per-mesh cluster scenes (object space) -----------------------
+    mesh_ids = [int(m) for m, _ in instances]
+    transforms = [t for _, t in instances]
+    if inst_layers is None:
+        inst_layers = [ALL_LAYERS] * ni
+    inst_layers = [int(m) for m in inst_layers]
+
+    # ---- effective (mesh, inst-mask) groups ---------------------------
+    group_of = {}
+    group_inst = []            # group index per instance
+    for m, il in zip(mesh_ids, inst_layers):
+        key = (m, il)
+        if key not in group_of:
+            group_of[key] = len(group_of)
+        group_inst.append(group_of[key])
+    groups = list(group_of)    # insertion order == group index order
+
+    # ---- per-group cluster scenes (object space) ----------------------
     mesh_cs = []
-    mesh_caabb = []            # (C_m, 6) object cluster AABBs
+    mesh_caabb = []            # (C_g, 6) object cluster AABBs
     slab_bases = []
     slot_bases = []
     slab_rows = 0
     slot_total = 0
-    for tri in mesh_tris:
-        tri = np.asarray(tri, np.float32)
+    for mesh_id, g_ilayers in groups:
+        tri = np.asarray(mesh_tris[mesh_id], np.float32)
         v0, v1, v2 = tri[:, 0], tri[:, 1], tri[:, 2]
         bvh = build_bvh(v0, v1, v2)
         host = bvh.host
@@ -177,12 +205,22 @@ def build_cluster_tlas(mesh_tris: list, instances: list,
         ln = np.linalg.norm(nrm, axis=-1, keepdims=True)
         nrm = (nrm / np.where(ln > 0, ln, 1)).astype(np.float32)
         tris = make_triangles(pv0, pv1, pv2)
+        if mesh_layers is None or mesh_layers[mesh_id] is None:
+            tl = np.full(len(v0), ALL_LAYERS, np.int32)
+        else:
+            tl = np.asarray(mesh_layers[mesh_id], np.int32)
+        eff_layers = (tl & np.int32(g_ilayers))[perm]
         cs = build_cluster_scene(
             bvh, tris,
             _np=(pv0, e1, e2, nrm,
                  np.arange(len(v0), dtype=np.int32)[perm],
-                 np.full(len(v0), ALL_LAYERS, np.int32)[perm]),
+                 eff_layers),
             tcap=tcap,
+            # numpy arrange: per-mesh shapes would each pay a fresh
+            # ~20 s remote-XLA compile of the device refresh (the
+            # round-3 83.9 s cold build); meshes are small by the
+            # memory~meshes contract, so host assembly is ~ms
+            host_arrange=True,
         )
         if cs.num_clusters > LOCAL_MASK + 1:
             raise ValueError(
@@ -204,22 +242,19 @@ def build_cluster_tlas(mesh_tris: list, instances: list,
     slot_prim = jnp.concatenate([cs.slot_prim_id for cs in mesh_cs])
     slot_lay = jnp.concatenate([cs.slot_layers for cs in mesh_cs])
     slot_nrm = jnp.concatenate([cs.slot_normal for cs in mesh_cs], axis=0)
-
-    # ---- per-instance tables ------------------------------------------
-    mesh_ids = [int(m) for m, _ in instances]
-    transforms = [t for _, t in instances]
     iinv, ifwd = _inst_tables(transforms)
     fwd_rows = np.zeros((ni, 12), np.float32)
     for i, t in enumerate(transforms):
         m = _to_mat34(t).astype(np.float32)
         fwd_rows[i] = m.reshape(-1)
-    islab = np.asarray([[slab_bases[m] for m in mesh_ids]], np.int32)
-    inst_slot_base = np.asarray([slot_bases[m] for m in mesh_ids], np.int32)
+    islab = np.asarray([[slab_bases[g] for g in group_inst]], np.int32)
+    inst_slot_base = np.asarray([slot_bases[g] for g in group_inst],
+                                np.int32)
 
     # ---- (instance, cluster) pairs + world AABBs ----------------------
     pobj_min, pobj_max, pinst, pgid = [], [], [], []
-    for i, m in enumerate(mesh_ids):
-        ca = mesh_caabb[m]
+    for i, g in enumerate(group_inst):
+        ca = mesh_caabb[g]
         cm = len(ca)
         pobj_min.append(ca[:, 0:3])
         pobj_max.append(ca[:, 3:6])

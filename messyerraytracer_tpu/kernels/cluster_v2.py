@@ -1,0 +1,767 @@
+"""Cluster kernel v2 — scratch-ref state + set-bit drain loops.
+
+Same device layout as kernels/cluster.py (ClusterScene / ClusterTLAS
+tables are shared verbatim); the kernel itself is restructured around two
+round-4 findings (tools/measure_r4.py, terrain-1M anatomy):
+
+  * v1 carries 10 per-ray state fields as VALUES through every
+    ``lax.cond``: each drain gate pays a branch + phi-merge of
+    10 x (srows,128) arrays, which is why per-row-exact gating (gr=1)
+    measured SLOWER than executing 2x the dense work (gr=2).  v2 keeps
+    the state in VMEM scratch refs and gates with ``pl.when`` (side
+    effects, no merges) — the while-loop carry shrinks to six scalars.
+  * The dense work then becomes per-row EXACT at no gating cost: each
+    drain walks only the set bits of its row mask with a ctz skip-loop
+    (dynamic-index row phases via ``pl.ds``), instead of cond-gated
+    groups of ``gr`` rows executing rows the cluster never touched.
+
+Bit-identical results to v1 by construction: the same row phases run in
+the same order with the same f32 math; v2 only skips rows whose updates
+were provably no-ops (their row-mask bit was 0, so ``valid`` was false
+lane-wide... the slab test that produced the bit is the same test v1's
+rowmask piggyback used to gate groups).
+
+Extra: per-ray NODE counters (VERDICT r3 #7) — each pop accumulates the
+per-lane child slab hits into an i32 visit count that rides output lane
+4 of the i32 slab, giving HEATMAP/OVERHEAT per-ray-exact node counts
+from the production kernel (stats.h:20-55, raytracer_debug.cpp:607-618).
+
+Reference parity targets unchanged: RayScene cast semantics
+(ray_scene.h:96-131), filter-during-traversal masking (ray_scene.h:124),
+NaN dummy-node sentinel (gpu_ray_caster.cpp:263-268).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.types import (
+    INV_DIR_EPS,
+    MT_DET_EPS,
+    T_MAX_DEFAULT,
+    Hits,
+    Rays,
+    RayStats,
+    NO_HIT,
+)
+from .cluster import (
+    CLUSTER_QD,
+    KSTACK,
+    LOCAL_BITS,
+    QCAP,
+    MAX_ITERS,
+    _BIG,
+    _pack_rays,
+    _on_tpu,
+)
+from .wide import NODE8_STRIDE, NODES8_PER_ROW, WIDE8_CAP
+
+NF32 = 7   # best, cap, u, v, nx, ny, nz
+NI32 = 5   # pid, lay, tt, ii, nv
+
+
+def _ctz16(x):
+    """Index of the lowest set bit of a nonzero 16-bit scalar mask
+    (branch-free binary search — Mosaic's scalar core has no bitcast, so
+    the float-exponent trick is unavailable)."""
+    lsb = x & -x
+    return ((jnp.where((lsb & 0xFF00) != 0, 8, 0))
+            + (jnp.where((lsb & 0xF0F0) != 0, 4, 0))
+            + (jnp.where((lsb & 0xCCCC) != 0, 2, 0))
+            + (jnp.where((lsb & 0xAAAA) != 0, 1, 0)))
+
+
+def _cluster_kernel_v2(
+    *refs,
+    any_hit: bool, dummy_enc: int, srows: int, tcap: int,
+    num_tiles: int, qd: int, n_inst: int = 0, probe: str = "",
+):
+    # refs: rays_hbm, nodes_hbm, ablk_hbm, [islab, iinv, ifwd,]
+    # fout_hbm, iout_hbm, pops_out,
+    # ray_buf, fbuf, ibuf, sf, si, stack_ref, queue_ref, qmask_ref,
+    # nodes_ref, qland, colbc_ref, sems
+    if n_inst:
+        (rays_hbm, nodes_hbm, ablk_hbm, islab, iinv, ifwd,
+         fout_hbm, iout_hbm, pops_out,
+         ray_buf, fbuf, ibuf, sf, si, stack_ref, queue_ref, qmask_ref,
+         nodes_ref, qland, colbc_ref, sems) = refs
+    else:
+        (rays_hbm, nodes_hbm, ablk_hbm,
+         fout_hbm, iout_hbm, pops_out,
+         ray_buf, fbuf, ibuf, sf, si, stack_ref, queue_ref, qmask_ref,
+         nodes_ref, qland, colbc_ref, sems) = refs
+        islab = iinv = ifwd = None
+
+    npr = NODES8_PER_ROW
+    nstride = NODE8_STRIDE
+    rrows = 8 * srows
+    frows = 6 * srows      # t, u, v, -nx, -ny, -nz
+    irows = 5 * srows      # prim_id, layers, tri_tests, instance, nodes
+    br = tcap + 8
+    dummy_node = dummy_enc >> 1
+    qmask = QCAP - 1
+    nseg = -(-srows // 16)   # 16-bit row-mask segments (v1 packing unit)
+
+    def _ray_in(g, pb):
+        return pltpu.make_async_copy(
+            rays_hbm.at[pl.ds(g * rrows, rrows), :],
+            ray_buf.at[pl.ds(pb * rrows, rrows), :], sems.at[2 + pb],
+        )
+
+    def _f_out(g, pb):
+        return pltpu.make_async_copy(
+            fbuf.at[pl.ds(pb * frows, frows), :],
+            fout_hbm.at[pl.ds(g * frows, frows), :], sems.at[4 + pb],
+        )
+
+    def _i_out(g, pb):
+        return pltpu.make_async_copy(
+            ibuf.at[pl.ds(pb * irows, irows), :],
+            iout_hbm.at[pl.ds(g * irows, irows), :], sems.at[6 + pb],
+        )
+
+    def _ablk_copy(c, slot):
+        if n_inst:
+            srow = (islab[0, jax.lax.shift_right_logical(c, LOCAL_BITS)]
+                    + (c & ((1 << LOCAL_BITS) - 1)) * br)
+        else:
+            srow = c * br
+        return pltpu.make_async_copy(
+            ablk_hbm.at[pl.ds(srow, br), :],
+            qland.at[pl.ds(slot * br, br), :], sems.at[8 + slot],
+        )
+
+    c1 = pltpu.make_async_copy(nodes_hbm, nodes_ref, sems.at[0])
+    c1.start()
+    _ray_in(0, 0).start()
+    c1.wait()
+
+    def safe_inv(x):
+        small = jnp.abs(x) < INV_DIR_EPS
+        sign = jnp.where(x < 0.0, -1.0, 1.0)
+        return jnp.where(small, sign / INV_DIR_EPS,
+                         1.0 / jnp.where(small, 1.0, x))
+
+    # scratch state rows: sf = [best, cap, u, v, nx, ny, nz] * srows
+    #                     si = [pid, lay, tt, ii, nv] * srows
+    BEST, CAP, UU, VV, NX, NY, NZ = range(NF32)
+    PID, LAY, TT, II, NV = range(NI32)
+
+    def group_body(g, pops_total):
+        pb = g & 1
+        _ray_in(g, pb).wait()
+
+        @pl.when(g + 1 < num_tiles)
+        def _():
+            _ray_in(g + 1, 1 - pb).start()
+
+        base = pb * rrows
+        O = tuple(ray_buf[pl.ds(base + f * srows, srows), :]
+                  for f in range(3))
+        D = tuple(ray_buf[pl.ds(base + (3 + f) * srows, srows), :]
+                  for f in range(3))
+        INV = tuple(safe_inv(x) for x in D)
+        TMIN = ray_buf[pl.ds(base + 6 * srows, srows), :]
+        TMAX = ray_buf[pl.ds(base + 7 * srows, srows), :]
+        LIVE = TMAX >= TMIN
+        SGN = tuple(jnp.sum(jnp.where(LIVE, D[a], 0.0)) >= 0.0
+                    for a in range(3))
+        stack_ref[0, 0] = jnp.int32(0)
+
+        # ---- per-tile state init -------------------------------------
+        shape = (srows, 128)
+        sf[pl.ds(BEST * srows, srows), :] = jnp.full(shape, _BIG,
+                                                     jnp.float32)
+        sf[pl.ds(CAP * srows, srows), :] = jnp.minimum(
+            jnp.full(shape, _BIG, jnp.float32), TMAX)
+        for f in (UU, VV, NX, NY, NZ):
+            sf[pl.ds(f * srows, srows), :] = jnp.zeros(shape, jnp.float32)
+        si[pl.ds(PID * srows, srows), :] = jnp.full(shape, -1, jnp.int32)
+        si[pl.ds(LAY * srows, srows), :] = jnp.zeros(shape, jnp.int32)
+        si[pl.ds(TT * srows, srows), :] = jnp.zeros(shape, jnp.int32)
+        si[pl.ds(II * srows, srows), :] = jnp.full(shape, -1, jnp.int32)
+        si[pl.ds(NV * srows, srows), :] = jnp.zeros(shape, jnp.int32)
+
+        def row_phase(i, slot_idx, inst_scalars):
+            """Dense (T,128) intersection of ray row ``i`` (dynamic index)
+            against the cluster slab landed in queue slot ``slot_idx``.
+            Reads/writes per-ray state rows in sf/si — no value carries.
+            """
+            ab = qland[pl.ds(slot_idx * br, tcap), :]      # (T, 128)
+            mrot = qland[pl.ds(slot_idx * br + tcap, 1), :]
+            ax, ay, az = mrot[0, 0], mrot[0, 1], mrot[0, 2]
+            cnt = mrot[0, 3]
+
+            oxr = ray_buf[pl.ds(base + 0 * srows + i, 1), :]
+            oyr = ray_buf[pl.ds(base + 1 * srows + i, 1), :]
+            ozr = ray_buf[pl.ds(base + 2 * srows + i, 1), :]
+            dxr = ray_buf[pl.ds(base + 3 * srows + i, 1), :]
+            dyr = ray_buf[pl.ds(base + 4 * srows + i, 1), :]
+            dzr = ray_buf[pl.ds(base + 5 * srows + i, 1), :]
+            tminr = ray_buf[pl.ds(base + 6 * srows + i, 1), :]
+            tmaxr = ray_buf[pl.ds(base + 7 * srows + i, 1), :]
+
+            if n_inst:
+                mm, fw, inst = inst_scalars
+                oxr, oyr, ozr = (
+                    mm[0] * oxr + mm[1] * oyr + mm[2] * ozr + mm[3],
+                    mm[4] * oxr + mm[5] * oyr + mm[6] * ozr + mm[7],
+                    mm[8] * oxr + mm[9] * oyr + mm[10] * ozr + mm[11],
+                )
+                dxr, dyr, dzr = (
+                    mm[0] * dxr + mm[1] * dyr + mm[2] * dzr,
+                    mm[4] * dxr + mm[5] * dyr + mm[6] * dzr,
+                    mm[8] * dxr + mm[9] * dyr + mm[10] * dzr,
+                )
+                invdd = 1.0 / (dxr * dxr + dyr * dyr + dzr * dzr)
+            else:
+                invdd = 1.0
+
+            def colf(c):
+                return ab[:, c:c + 1]
+
+            nnx, nny, nnz = colf(0), colf(1), colf(2)     # -n
+            c2x, c2y, c2z = colf(3), colf(4), colf(5)     # v0' x e2
+            e2x, e2y, e2z = colf(6), colf(7), colf(8)     # e2
+            c1x, c1y, c1z = colf(9), colf(10), colf(11)   # -(v0' x e1)
+            e1x, e1y, e1z = colf(12), colf(13), colf(14)  # -e1
+            tw = colf(15)                                 # -v0'.n
+            ks = jax.lax.broadcasted_iota(jnp.int32, (tcap, 128), 0)
+
+            # re-anchor at closest approach to the cluster anchor
+            tau = (dxr * (ax - oxr) + dyr * (ay - oyr)
+                   + dzr * (az - ozr)) * invdd
+            ocx = oxr + tau * dxr - ax
+            ocy = oyr + tau * dyr - ay
+            ocz = ozr + tau * dzr - az
+            mx = ocy * dzr - ocz * dyr
+            my = ocz * dxr - ocx * dzr
+            mz = ocx * dyr - ocy * dxr
+            det = nnx * dxr + nny * dyr + nnz * dzr
+            un = (c2x * dxr + c2y * dyr + c2z * dzr
+                  + e2x * mx + e2y * my + e2z * mz)
+            vn = (c1x * dxr + c1y * dyr + c1z * dzr
+                  + e1x * mx + e1y * my + e1z * mz)
+            tn = -(nnx * ocx + nny * ocy + nnz * ocz) + tw
+            ok = jnp.abs(det) >= MT_DET_EPS
+            idet = 1.0 / jnp.where(ok, det, 1.0)
+            u = un * idet
+            v = vn * idet
+            t = tn * idet + tau
+
+            bestr = sf[pl.ds(BEST * srows + i, 1), :]
+            valid = (
+                ok
+                & (u >= 0.0) & (u <= 1.0)
+                & (v >= 0.0) & (u + v <= 1.0)
+                & (t >= tminr) & (t <= tmaxr)
+                & (t < bestr)
+            )
+            score = jnp.where(valid, t, _BIG)
+            tb = jnp.min(score, axis=0, keepdims=True)    # (1,128)
+            better = tb < bestr
+            sel = (score == tb) & valid
+            kb = jnp.min(jnp.where(sel, ks, tcap), axis=0, keepdims=True)
+            selk = sel & (ks == kb)
+
+            def sel_f(col):
+                return jnp.sum(jnp.where(selk, col, 0.0), axis=0,
+                               keepdims=True)
+
+            ub = jnp.max(jnp.where(selk, u, -_BIG), axis=0, keepdims=True)
+            vb = jnp.max(jnp.where(selk, v, -_BIG), axis=0, keepdims=True)
+            nxb = sel_f(nnx)
+            nyb = sel_f(nny)
+            nzb = sel_f(nnz)
+            pidb = sel_f(colf(16)).astype(jnp.int32)
+            layb = (sel_f(colf(17)).astype(jnp.int32)
+                    | (sel_f(colf(18)).astype(jnp.int32) << 16))
+            if n_inst:
+                nxb, nyb, nzb = (
+                    fw[0] * nxb + fw[1] * nyb + fw[2] * nzb,
+                    fw[3] * nxb + fw[4] * nyb + fw[5] * nzb,
+                    fw[6] * nxb + fw[7] * nyb + fw[8] * nzb,
+                )
+                si[pl.ds(II * srows + i, 1), :] = jnp.where(
+                    better, inst.astype(jnp.int32),
+                    si[pl.ds(II * srows + i, 1), :])
+
+            bnew = jnp.where(better, tb, bestr)
+            sf[pl.ds(BEST * srows + i, 1), :] = bnew
+            sf[pl.ds(CAP * srows + i, 1), :] = jnp.minimum(bnew, tmaxr)
+            sf[pl.ds(UU * srows + i, 1), :] = jnp.where(
+                better, ub, sf[pl.ds(UU * srows + i, 1), :])
+            sf[pl.ds(VV * srows + i, 1), :] = jnp.where(
+                better, vb, sf[pl.ds(VV * srows + i, 1), :])
+            sf[pl.ds(NX * srows + i, 1), :] = jnp.where(
+                better, nxb, sf[pl.ds(NX * srows + i, 1), :])
+            sf[pl.ds(NY * srows + i, 1), :] = jnp.where(
+                better, nyb, sf[pl.ds(NY * srows + i, 1), :])
+            sf[pl.ds(NZ * srows + i, 1), :] = jnp.where(
+                better, nzb, sf[pl.ds(NZ * srows + i, 1), :])
+            si[pl.ds(PID * srows + i, 1), :] = jnp.where(
+                better, pidb, si[pl.ds(PID * srows + i, 1), :])
+            si[pl.ds(LAY * srows + i, 1), :] = jnp.where(
+                better, layb, si[pl.ds(LAY * srows + i, 1), :])
+            si[pl.ds(TT * srows + i, 1), :] = (
+                si[pl.ds(TT * srows + i, 1), :] + cnt.astype(jnp.int32))
+
+        def drain_one(li, slot_idx, rowmasks):
+            """Drain one queued cluster: wait its slab DMA, then run a
+            dense row phase for each SET BIT of the row mask only (ctz
+            skip-loop; per-row-exact work, VERDICT r4 item 1)."""
+            if probe in ("nodma", "nopush"):
+                pass       # timing probe: DMA never started
+            elif probe == "nodrain":
+                _ablk_copy(li, slot_idx).wait()
+                return
+            else:
+                _ablk_copy(li, slot_idx).wait()
+
+            if n_inst:
+                inst = jax.lax.shift_right_logical(li, LOCAL_BITS)
+                mm = [iinv[inst, j] for j in range(12)]
+                fw = [ifwd[inst, j] for j in range(9)]
+                inst_scalars = (mm, fw, inst)
+            else:
+                inst_scalars = None
+
+            for seg in range(nseg):
+                rm0 = rowmasks[seg]
+
+                def seg_body(carry):
+                    rm = carry
+                    i = _ctz16(rm) + seg * 16
+                    row_phase(i, slot_idx, inst_scalars)
+                    return rm & (rm - 1)
+
+                jax.lax.while_loop(lambda rm: rm != 0, seg_body, rm0)
+
+        def step_fn(st):
+            (sp, qh, qt, pops, iters, done) = st
+            iters = iters + 1
+            # ---- drain up to qd prefetched clusters ---------------------
+            qlen = qt - qh
+            for j in range(qd):
+                @pl.when(j < qlen)
+                def _(j=j):
+                    li = queue_ref[0, (qh + j) & qmask]
+                    rms = [qmask_ref[seg, (qh + j) & qmask]
+                           for seg in range(nseg)]
+                    drain_one(li, (qh + j) & qmask, rms)
+            qh = qh + jnp.minimum(qlen, qd)
+
+            # ---- one upper-tree pop (branch-free dummy fallback) --------
+            room = (qt - qh) <= QCAP - WIDE8_CAP
+            active = (sp > 0) & room
+            nidx = jnp.where(active, stack_ref[0, jnp.maximum(sp - 1, 0)],
+                             jnp.int32(dummy_node))
+            sp = jnp.where(active, sp - 1, sp)
+            pops = pops + active.astype(jnp.int32)
+            block = nodes_ref[nidx >> 7]
+            rot = pltpu.roll(block, -(nidx & 127), axis=1)
+            colbc_ref[0:nstride, :] = jnp.broadcast_to(
+                rot[:, 0:1], (nstride, 128)
+            )
+
+            def vget(k):
+                return colbc_ref[k:k + 1, :]
+
+            cap = sf[pl.ds(CAP * srows, srows), :]
+
+            def slab_hit(b0):
+                lox, hix = vget(b0), vget(b0 + 3)
+                loy, hiy = vget(b0 + 1), vget(b0 + 4)
+                loz, hiz = vget(b0 + 2), vget(b0 + 5)
+                t1 = (lox - O[0]) * INV[0]
+                t2 = (hix - O[0]) * INV[0]
+                tn_ = jnp.minimum(t1, t2)
+                tf = jnp.maximum(t1, t2)
+                t1 = (loy - O[1]) * INV[1]
+                t2 = (hiy - O[1]) * INV[1]
+                tn_ = jnp.maximum(tn_, jnp.minimum(t1, t2))
+                tf = jnp.minimum(tf, jnp.maximum(t1, t2))
+                t1 = (loz - O[2]) * INV[2]
+                t2 = (hiz - O[2]) * INV[2]
+                tn_ = jnp.maximum(tn_, jnp.minimum(t1, t2))
+                tf = jnp.minimum(tf, jnp.maximum(t1, t2))
+                return (tf >= jnp.maximum(tn_, 0.0)) & (tn_ <= cap)
+
+            # per-child per-row bitmasks, 16 rows per int32 segment,
+            # 2 children packed per reduction (v1 scheme, generalized to
+            # nseg segments for tall tiles); per-lane hits also feed the
+            # per-ray node-visit counter (stats.h:20-55)
+            rowbit = jax.lax.broadcasted_iota(jnp.int32, (srows, 1), 0)
+            segbit = rowbit % 16
+            hits8 = []
+            packed = [[] for _ in range(nseg)]
+            for pair in range(WIDE8_CAP // 2):
+                a = slab_hit(6 * (2 * pair))
+                b = slab_hit(6 * (2 * pair + 1))
+                hits8.append(a.astype(jnp.int32) + b.astype(jnp.int32))
+                arow = jnp.max(a.astype(jnp.int32), axis=1, keepdims=True)
+                brow = jnp.max(b.astype(jnp.int32), axis=1, keepdims=True)
+                acc = (arow << segbit) + (brow << (segbit + 16))
+                for seg in range(nseg):
+                    if nseg == 1:
+                        packed[seg].append(jnp.sum(acc))
+                    else:
+                        inseg = (rowbit >> 4) == seg
+                        packed[seg].append(
+                            jnp.sum(jnp.where(inseg, acc, 0)))
+            rowmasks = [[
+                jax.lax.shift_right_logical(
+                    packed[seg][k // 2], 16 * (k % 2)) & 0xFFFF
+                for seg in range(nseg)] for k in range(WIDE8_CAP)]
+            anyk = [functools.reduce(
+                lambda x, y: x | y, rowmasks[k]) > 0
+                for k in range(WIDE8_CAP)]
+            # per-ray node visits: + per-lane child-box hits this pop
+            si[pl.ds(NV * srows, srows), :] = (
+                si[pl.ds(NV * srows, srows), :]
+                + functools.reduce(lambda x, y: x + y, hits8))
+
+            encs = [rot[48 + k, 0].astype(jnp.int32)
+                    for k in range(WIDE8_CAP)]
+            axis = rot[56, 0].astype(jnp.int32)
+            fwd = jnp.where(
+                axis == 0, SGN[0], jnp.where(axis == 1, SGN[1], SGN[2])
+            )
+            order = tuple(
+                (jnp.where(fwd, encs[j], encs[WIDE8_CAP - 1 - j]),
+                 jnp.where(fwd, anyk[j], anyk[WIDE8_CAP - 1 - j]),
+                 [jnp.where(fwd, rowmasks[j][seg],
+                            rowmasks[WIDE8_CAP - 1 - j][seg])
+                  for seg in range(nseg)])
+                for j in range(WIDE8_CAP - 1, -1, -1)
+            )
+
+            for e_j, h_j, rm_j in order:
+                isleaf = (e_j & 1) == 1
+                tgt = jax.lax.shift_right_logical(e_j, 1)
+                wq = h_j & isleaf
+                if probe == "nopush":
+                    wq = wq & (qt < 0)
+                queue_ref[0, jnp.where(wq, qt & qmask, QCAP)] = tgt
+                for seg in range(nseg):
+                    qmask_ref[seg, jnp.where(wq, qt & qmask, QCAP)] = (
+                        rm_j[seg])
+                if probe not in ("nodma", "nopush"):
+                    @pl.when(wq)
+                    def _(tgt=tgt, qt=qt):
+                        _ablk_copy(tgt, qt & qmask).start()
+                qt = qt + wq.astype(jnp.int32)
+                ws = h_j & jnp.logical_not(isleaf) & (sp < KSTACK)
+                stack_ref[0, jnp.where(ws, sp, KSTACK)] = tgt
+                sp = sp + ws.astype(jnp.int32)
+            if any_hit:
+                done = jnp.min(si[pl.ds(PID * srows, srows), :]) >= 0
+            return (sp, qh, qt, pops, iters, done)
+
+        def cond(st):
+            alive = ((st[0] > 0) | (st[2] > st[1])) & (st[4] < MAX_ITERS)
+            if any_hit:
+                alive = alive & jnp.logical_not(st[5])
+            return alive
+
+        init = (jnp.int32(1), jnp.int32(0), jnp.int32(0), jnp.int32(0),
+                jnp.int32(0), jnp.bool_(False))
+        st = jax.lax.while_loop(cond, step_fn, init)
+        (sp, qh, qt, pops, iters, _) = st
+
+        if any_hit:
+            # early exit can abandon queued prefetches; balance their sems
+            def clean(j, qh_c):
+                @pl.when(qh_c < qt)
+                def _():
+                    li = queue_ref[0, qh_c & qmask]
+                    _ablk_copy(li, qh_c & qmask).wait()
+                return qh_c + 1
+
+            jax.lax.fori_loop(0, QCAP, clean, qh)
+
+        @pl.when(g >= 2)
+        def _():
+            _f_out(g - 2, pb).wait()
+            _i_out(g - 2, pb).wait()
+
+        best = sf[pl.ds(BEST * srows, srows), :]
+        uu = sf[pl.ds(UU * srows, srows), :]
+        vv = sf[pl.ds(VV * srows, srows), :]
+        pid = si[pl.ds(PID * srows, srows), :]
+        found = pid >= 0
+        fb = pb * frows
+        ib = pb * irows
+        fbuf[pl.ds(fb, srows), :] = jnp.where(found, best, T_MAX_DEFAULT)
+        fbuf[pl.ds(fb + srows, srows), :] = jnp.where(found, uu, 0.0)
+        fbuf[pl.ds(fb + 2 * srows, srows), :] = jnp.where(found, vv, 0.0)
+        fbuf[pl.ds(fb + 3 * srows, srows), :] = sf[pl.ds(NX * srows,
+                                                         srows), :]
+        fbuf[pl.ds(fb + 4 * srows, srows), :] = sf[pl.ds(NY * srows,
+                                                         srows), :]
+        fbuf[pl.ds(fb + 5 * srows, srows), :] = sf[pl.ds(NZ * srows,
+                                                         srows), :]
+        ibuf[pl.ds(ib, srows), :] = pid
+        ibuf[pl.ds(ib + srows, srows), :] = si[pl.ds(LAY * srows,
+                                                     srows), :]
+        ibuf[pl.ds(ib + 2 * srows, srows), :] = si[pl.ds(TT * srows,
+                                                         srows), :]
+        ibuf[pl.ds(ib + 3 * srows, srows), :] = si[pl.ds(II * srows,
+                                                         srows), :]
+        ibuf[pl.ds(ib + 4 * srows, srows), :] = si[pl.ds(NV * srows,
+                                                         srows), :]
+        _f_out(g, pb).start()
+        _i_out(g, pb).start()
+        return (pops_total[0] + pops, pops_total[1] + iters)
+
+    pops_total = jax.lax.fori_loop(
+        0, num_tiles, group_body, (jnp.int32(0), jnp.int32(0))
+    )
+    for g in range(max(num_tiles - 2, 0), num_tiles):
+        _f_out(g, g & 1).wait()
+        _i_out(g, g & 1).wait()
+    pops_out[0, 0] = pops_total[0]
+    pops_out[0, 1] = pops_total[1]
+
+
+def _call_cluster_v2(rays_packed, nodes, ablocks, *, any_hit, interpret,
+                     num_tiles, dummy_enc, srows, tcap, qd, probe="",
+                     islab=None, iinv=None, ifwd=None):
+    from .traverse_pallas import _to_columnar
+
+    nodes = _to_columnar(nodes, NODE8_STRIDE, NODE8_STRIDE)
+    rrows = 8 * srows
+    frows = 6 * srows
+    irows = 5 * srows
+    br = tcap + 8
+    nseg = -(-srows // 16)
+    n_inst = 0 if islab is None else int(islab.shape[1])
+    kern = functools.partial(
+        _cluster_kernel_v2, any_hit=any_hit, dummy_enc=dummy_enc,
+        srows=srows, tcap=tcap, num_tiles=num_tiles, qd=qd, probe=probe,
+        n_inst=n_inst,
+    )
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    extra_in = [smem, smem, smem] if n_inst else []
+    extra_args = [islab, iinv, ifwd] if n_inst else []
+    cp = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+    return pl.pallas_call(
+        kern,
+        compiler_params=cp,
+        in_specs=[hbm, hbm, hbm] + extra_in,
+        out_specs=(hbm, hbm, pl.BlockSpec(memory_space=pltpu.SMEM)),
+        out_shape=(
+            jax.ShapeDtypeStruct((num_tiles * frows, 128), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles * irows, 128), jnp.int32),
+            jax.ShapeDtypeStruct((1, 2), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2 * rrows, 128), jnp.float32),   # ray grp (dbuf)
+            pltpu.VMEM((2 * frows, 128), jnp.float32),   # f32 out (dbuf)
+            pltpu.VMEM((2 * irows, 128), jnp.int32),     # i32 out (dbuf)
+            pltpu.VMEM((NF32 * srows, 128), jnp.float32),  # f32 ray state
+            pltpu.VMEM((NI32 * srows, 128), jnp.int32),    # i32 ray state
+            pltpu.SMEM((1, KSTACK + 1), jnp.int32),
+            pltpu.SMEM((1, QCAP + 1), jnp.int32),
+            pltpu.SMEM((nseg, QCAP + 1), jnp.int32),     # rowmask segs
+            pltpu.VMEM(nodes.shape, jnp.float32),
+            pltpu.VMEM((QCAP * br, 128), jnp.float32),
+            pltpu.VMEM((NODE8_STRIDE, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((8 + QCAP,)),
+        ],
+        interpret=interpret,
+    )(rays_packed, nodes, ablocks, *extra_args)
+
+
+def _hits_from_buffers_v2(fout, iout, rays, num_tiles, srows, n):
+    """Gather-free hit assembly (v2: 5 i32 lanes — adds per-ray node
+    visits)."""
+    f4 = fout.reshape(num_tiles, 6, srows * 128)
+    i4 = iout.reshape(num_tiles, 5, srows * 128)
+    t = f4[:, 0].reshape(-1)[:n]
+    u = f4[:, 1].reshape(-1)[:n]
+    v = f4[:, 2].reshape(-1)[:n]
+    nn = jnp.stack(
+        [f4[:, 3].reshape(-1)[:n], f4[:, 4].reshape(-1)[:n],
+         f4[:, 5].reshape(-1)[:n]], axis=-1,
+    )
+    pid = i4[:, 0].reshape(-1)[:n]
+    lay = i4[:, 1].reshape(-1)[:n]
+    tt = i4[:, 2].reshape(-1)[:n]
+    inst = i4[:, 3].reshape(-1)[:n]
+    nv = i4[:, 4].reshape(-1)[:n]
+
+    found = pid >= 0
+    nrm = -nn
+    ln = jnp.sqrt(jnp.sum(nrm * nrm, axis=-1, keepdims=True))
+    nrm = nrm / jnp.where(ln > 0.0, ln, 1.0)
+    hits = Hits(
+        t=jnp.where(found, t, T_MAX_DEFAULT),
+        position=jnp.where(
+            found[:, None], rays.origin + rays.direction * t[:, None], 0.0
+        ),
+        normal=jnp.where(found[:, None], nrm, 0.0),
+        u=u,
+        v=v,
+        prim_id=jnp.where(found, pid, NO_HIT),
+        hit_layers=jnp.where(found, lay, 0),
+    )
+    return hits, found, tt, inst, nv
+
+
+def _bucket_tiles(n, step):
+    num_tiles = -(-n // step)
+    b = 1
+    while b < num_tiles:
+        b *= 2
+    if num_tiles > b // 2 and num_tiles <= 3 * b // 4 and b >= 4:
+        b = 3 * b // 4
+    return b
+
+
+def _pack_ray_fields(rays, num_tiles, srows, interpret):
+    n = rays.count
+    step = srows * 128
+    pad = num_tiles * step - n
+
+    def fld(x, fillv):
+        x = (jnp.concatenate([x, jnp.full((pad,), fillv, x.dtype)])
+             if pad else x)
+        return x.reshape(num_tiles * srows, 128)
+
+    rfields = (
+        fld(rays.origin[:, 0], 0.0), fld(rays.origin[:, 1], 0.0),
+        fld(rays.origin[:, 2], 0.0),
+        fld(rays.direction[:, 0], 0.0), fld(rays.direction[:, 1], 0.0),
+        fld(rays.direction[:, 2], 1.0),
+        fld(rays.t_min, 0.0), fld(rays.t_max, -1.0),
+    )
+    return _pack_rays(rfields, num_tiles, srows, interpret)
+
+
+V2_SROWS = 16
+V2_QD = CLUSTER_QD
+
+
+def cast_rays_cluster_v2(
+    rays: Rays,
+    cs,
+    query_mask: int = -1,
+    any_hit: bool = False,
+    interpret: bool | None = None,
+    srows: int = V2_SROWS,
+    qd: int = V2_QD,
+    probe: str = "",
+    return_per_ray: bool = False,
+):
+    """v2 closest-hit / any-hit cast over ClusterScene tables.
+
+    Same contract as cast_rays_cluster; ``return_per_ray`` adds
+    per-ray EXACT tri-test AND node-visit counters (stats.h:20-55)."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    hits, stats, found, tt, nv = _cast_v2_jit(
+        rays, cs, query_mask=int(query_mask), any_hit=any_hit,
+        interpret=interpret, srows=srows, qd=qd, probe=probe,
+    )
+    if return_per_ray:
+        return hits, stats, found, {"tri_tests": tt, "node_visits": nv}
+    return hits, stats, found
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("query_mask", "any_hit", "interpret", "srows", "qd",
+                     "probe"),
+)
+def _cast_v2_jit(rays, cs, *, query_mask, any_hit, interpret, srows, qd,
+                 probe):
+    from .cluster import _mask_ablocks
+
+    n = rays.count
+    num_tiles = _bucket_tiles(n, srows * 128)
+    packed = _pack_ray_fields(rays, num_tiles, srows, interpret)
+
+    ablocks = cs.ablocks
+    if query_mask != -1:
+        ablocks = _mask_ablocks(cs, query_mask)
+
+    fout, iout, pops_tot = _call_cluster_v2(
+        packed, cs.nodes, ablocks,
+        any_hit=any_hit, interpret=interpret, num_tiles=num_tiles,
+        dummy_enc=cs.dummy_enc, srows=srows, tcap=cs.tcap, qd=qd,
+        probe=probe,
+    )
+    hits, found, tt, _, nv = _hits_from_buffers_v2(
+        fout, iout, rays, num_tiles, srows, n)
+    stats = RayStats(
+        rays_cast=jnp.int32(n),
+        tri_tests=jnp.sum(tt.astype(jnp.float32)),
+        bvh_nodes_visited=jnp.sum(pops_tot[0, 0][None]),
+        hits=jnp.sum(found.astype(jnp.int32)),
+    )
+    return hits, stats, found, tt, nv
+
+
+def cast_rays_cluster_tlas_v2(
+    rays: Rays,
+    ct,
+    query_mask: int = -1,
+    any_hit: bool = False,
+    interpret: bool | None = None,
+    srows: int = V2_SROWS,
+    qd: int = V2_QD,
+    return_per_ray: bool = False,
+):
+    """v2 instanced cast over ClusterTLAS tables.  Returns
+    (hits, stats, occluded, instance_id[, per_ray dict])."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    hits, stats, found, inst_id, tt, nv = _cast_tlas_v2_jit(
+        rays, ct, query_mask=int(query_mask), any_hit=any_hit,
+        interpret=interpret, srows=srows, qd=qd,
+    )
+    if return_per_ray:
+        return (hits, stats, found, inst_id,
+                {"tri_tests": tt, "node_visits": nv})
+    return hits, stats, found, inst_id
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("query_mask", "any_hit", "interpret", "srows", "qd"),
+)
+def _cast_tlas_v2_jit(rays, ct, *, query_mask, any_hit, interpret, srows,
+                      qd):
+    from .cluster_tlas import _apply_tlas_mask
+
+    n = rays.count
+    num_tiles = _bucket_tiles(n, srows * 128)
+    packed = _pack_ray_fields(rays, num_tiles, srows, interpret)
+
+    ablocks = ct.ablocks
+    if query_mask != -1:
+        ablocks = _apply_tlas_mask(ct, query_mask)
+
+    fout, iout, pops_tot = _call_cluster_v2(
+        packed, ct.nodes, ablocks,
+        any_hit=any_hit, interpret=interpret, num_tiles=num_tiles,
+        dummy_enc=ct.dummy_enc, srows=srows, tcap=ct.tcap, qd=qd,
+        islab=ct.islab, iinv=ct.iinv, ifwd=ct.ifwd,
+    )
+    hits, found, tt, inst, nv = _hits_from_buffers_v2(
+        fout, iout, rays, num_tiles, srows, n)
+    stats = RayStats(
+        rays_cast=jnp.int32(n),
+        tri_tests=jnp.sum(tt.astype(jnp.float32)),
+        bvh_nodes_visited=jnp.sum(pops_tot[0, 0][None]),
+        hits=jnp.sum(found.astype(jnp.int32)),
+    )
+    inst_id = jnp.where(found, inst, -1)
+    return hits, stats, found, inst_id, tt, nv

@@ -196,11 +196,17 @@ def _refit_jit(bvh, wide, cluster, old_tris, v0, v1, v2):
 
 
 def build_scene(v0, v1, v2, layers=None, prim_id=None, use_bvh=True,
-                backend="cluster", branching=8) -> RayScene:
+                backend="cluster", branching=8,
+                host_arrange: bool = False) -> RayScene:
     """Build a flat scene from (T,3) vertex arrays.
 
     The BVH build runs on host; the returned SoA arrays are device-resident.
     Mirrors ``RayScene::build`` (ray_scene.h:62-86).
+
+    ``host_arrange``: assemble the cluster slabs in numpy instead of the
+    jitted device refresh — zero XLA compiles, meant for SMALL scenes
+    (per-mesh BLAS builds) where otherwise every distinct mesh shape pays
+    a fresh remote compile (the round-3 instanced-build pathology).
     """
     from .. import _tune_malloc
 
@@ -243,6 +249,7 @@ def build_scene(v0, v1, v2, layers=None, prim_id=None, use_bvh=True,
             bvh, tris,
             _np=(pv0, e1, e2, nrm, prim_id[perm], layers[perm]),
             tcap=cluster_tcap_for(t),
+            host_arrange=host_arrange,
         )
     elif backend == "pallas":
         builder = build_wide8_scene if branching == 8 else build_wide_scene

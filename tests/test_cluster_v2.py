@@ -1,0 +1,141 @@
+"""Cluster kernel v2 parity (interpret mode on CPU).
+
+v2 runs the same dense row phases as v1 in the same order, skipping only
+rows whose mask bit was 0 (provable no-ops), so HITS must be bit-identical
+to v1 and exact vs the brute oracle; the per-ray counters differ by
+design (v2's tri_tests are per-row EXACT, and it adds node_visits).
+"""
+
+import numpy as np
+
+from messyerraytracer_tpu.core.brute import cast_rays_brute
+from messyerraytracer_tpu.core.types import NO_HIT, make_rays
+from messyerraytracer_tpu.kernels.cluster import (
+    build_cluster_scene,
+    cast_rays_cluster,
+)
+from messyerraytracer_tpu.kernels.cluster_v2 import (
+    cast_rays_cluster_tlas_v2,
+    cast_rays_cluster_v2,
+)
+from messyerraytracer_tpu.scene.scene import build_scene_from_tri_array
+from messyerraytracer_tpu.utils import meshes
+
+
+def small_scene(tcap=32):
+    g = meshes.plane(8.0, y=0.0, subdiv=14)
+    g[:, :, 1] = np.sin(g[:, :, 0]) * 0.6
+    sph = meshes.uv_sphere(1.2, 8, 14, center=(0, 1.5, 0))
+    tris = np.concatenate([g, sph])
+    base = build_scene_from_tri_array(tris, backend="pallas")
+    cs = build_cluster_scene(base.bvh, base.tris, tcap=tcap)
+    return base, cs
+
+
+def rand_rays(n, seed=0, extent=5.0):
+    rng = np.random.default_rng(seed)
+    o = rng.uniform(-extent, extent, (n, 3)).astype(np.float32)
+    o[:, 1] = rng.uniform(0.2, 4.0, n)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return make_rays(o, d)
+
+
+class TestClusterV2:
+    def test_hits_match_v1_and_brute(self):
+        base, cs = small_scene()
+        rays = rand_rays(600, seed=1)
+        h2, s2, _, pr = cast_rays_cluster_v2(rays, cs, return_per_ray=True)
+        h1, s1, _ = cast_rays_cluster(rays, cs)
+        np.testing.assert_array_equal(np.asarray(h2.prim_id),
+                                      np.asarray(h1.prim_id))
+        np.testing.assert_array_equal(np.asarray(h2.t), np.asarray(h1.t))
+        np.testing.assert_array_equal(np.asarray(h2.u), np.asarray(h1.u))
+        np.testing.assert_array_equal(np.asarray(h2.normal),
+                                      np.asarray(h1.normal))
+        hb, _ = cast_rays_brute(rays, base.tris)
+        np.testing.assert_array_equal(np.asarray(h2.prim_id),
+                                      np.asarray(hb.prim_id))
+        hit = np.asarray(hb.prim_id) != NO_HIT
+        np.testing.assert_allclose(np.asarray(h2.t)[hit],
+                                   np.asarray(hb.t)[hit], rtol=1e-5)
+        # per-row-exact work: v2 executes at most v1's gated rows
+        assert float(s2.tri_tests) <= float(s1.tri_tests)
+        assert int(s2.hits) == int(s1.hits)
+
+    def test_per_ray_counters(self):
+        base, cs = small_scene()
+        rays = rand_rays(300, seed=2)
+        h2, s2, _, pr = cast_rays_cluster_v2(rays, cs, return_per_ray=True)
+        tt = np.asarray(pr["tri_tests"])
+        nv = np.asarray(pr["node_visits"])
+        assert tt.shape == (300,) and nv.shape == (300,)
+        assert int(tt.sum()) == int(float(s2.tri_tests))
+        # every hitting ray visited >= 1 node and tested >= 1 triangle
+        hit = np.asarray(h2.prim_id) != NO_HIT
+        assert (tt[hit] > 0).all() and (nv[hit] > 0).all()
+        # node visits are bounded by total pops x 8 children
+        assert nv.max() <= 8 * int(s2.bvh_nodes_visited)
+
+    def test_any_hit(self):
+        base, cs = small_scene()
+        rays = rand_rays(300, seed=3)
+        _, _, occ = cast_rays_cluster_v2(rays, cs, any_hit=True)
+        hb, _ = cast_rays_brute(rays, base.tris)
+        np.testing.assert_array_equal(
+            np.asarray(occ), np.asarray(hb.prim_id) != NO_HIT
+        )
+
+    def test_query_mask(self):
+        g = meshes.plane(6.0, y=0.0, subdiv=10)
+        sph = meshes.uv_sphere(1.0, 8, 14, center=(0, 1.2, 0))
+        tris = np.concatenate([g, sph])
+        layers = np.concatenate([
+            np.full(len(g), 0b01, np.int32),
+            np.full(len(sph), 0b10, np.int32),
+        ])
+        base = build_scene_from_tri_array(tris, layers=layers,
+                                          backend="pallas")
+        cs = build_cluster_scene(base.bvh, base.tris, tcap=32)
+        rays = rand_rays(300, seed=4, extent=4.0)
+        for qm in (0b01, 0b10, 0b11):
+            h2, _, _ = cast_rays_cluster_v2(rays, cs, query_mask=qm)
+            hb, _ = cast_rays_brute(rays, base.tris, qm)
+            np.testing.assert_array_equal(np.asarray(h2.prim_id),
+                                          np.asarray(hb.prim_id))
+
+    def test_tall_tiles_srows32(self):
+        base, cs = small_scene()
+        rays = rand_rays(4500, seed=5)   # > one 32x128 tile
+        h2, _, _ = cast_rays_cluster_v2(rays, cs, srows=32)
+        h1, _, _ = cast_rays_cluster(rays, cs)
+        np.testing.assert_array_equal(np.asarray(h2.prim_id),
+                                      np.asarray(h1.prim_id))
+        np.testing.assert_array_equal(np.asarray(h2.t), np.asarray(h1.t))
+
+    def test_instanced_v2(self):
+        from messyerraytracer_tpu.kernels.cluster_tlas import (
+            build_cluster_tlas,
+            cast_rays_cluster_tlas,
+        )
+
+        ms = [meshes.uv_sphere(1.0, 8, 16), meshes.box((1.0, 2.0, 1.0))]
+
+        def xform(t, s=1.0):
+            m = np.zeros((3, 4), np.float32)
+            m[:, :3] = np.eye(3) * s
+            m[:, 3] = t
+            return m
+
+        inst = [(0, xform((0, 0, 0))), (1, xform((-3, 0, 0), 1.2)),
+                (0, xform((3, 0.5, -1), 0.5))]
+        ct = build_cluster_tlas(ms, inst, tcap=32)
+        rays = rand_rays(500, seed=6)
+        h2, s2, _, i2 = cast_rays_cluster_tlas_v2(rays, ct)
+        h1, s1, _, i1 = cast_rays_cluster_tlas(rays, ct)
+        np.testing.assert_array_equal(np.asarray(h2.prim_id),
+                                      np.asarray(h1.prim_id))
+        np.testing.assert_array_equal(np.asarray(h2.t), np.asarray(h1.t))
+        np.testing.assert_array_equal(np.asarray(i2), np.asarray(i1))
+        np.testing.assert_array_equal(np.asarray(h2.normal),
+                                      np.asarray(h1.normal))

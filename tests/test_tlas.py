@@ -345,13 +345,76 @@ class TestInstancedClusterPath:
         h2, _, _, inst2 = tlas.cast_rays_instanced(rays2)
         assert bool(h2.hit[0]) and int(inst2[0]) == 1
 
-    def test_instance_layers_rejected(self):
+    def test_instance_layer_masks(self):
+        # two instances of ONE mesh with different masks: the instanced
+        # cast filters per instance exactly like the flattened path
+        # (effective layers = tri & instance, ray_scene.h:124)
         tlas = SceneTLAS(backend="jnp")
-        sphere = meshes.uv_sphere(radius=1.0, rings=6, segments=12)
+        sphere = meshes.uv_sphere(radius=1.0, rings=8, segments=16)
         sid = tlas.add_mesh(sphere)
-        tlas.add_instance(sid, translate((0, 0, 0)), layers=0b01)
+        tlas.add_instance(sid, translate((-2, 0, 0)), layers=0b01)
+        tlas.add_instance(sid, translate((2, 0, 0)), layers=0b10)
         tlas.build_tlas()
-        import pytest
+        rays = make_rays(
+            np.float32([[-1.9, 0.07, 5], [2.1, 0.07, 5]]),
+            np.float32([[0, 0, -1], [0, 0, -1]]),
+        )
+        h, _, _, inst = tlas.cast_rays_instanced(rays, query_mask=0b01)
+        assert bool(h.hit[0]) and int(inst[0]) == 0
+        assert not bool(h.hit[1])
+        # random-batch parity vs the flattened cast for mixed masks
+        rnd = self._rand_rays(256, 29)
+        for qm in (0b01, 0b10, 0b11):
+            hi, _, _, _ = tlas.cast_rays_instanced(rnd, query_mask=qm)
+            hf, _, _ = tlas.cast_rays(rnd, query_mask=qm)
+            np.testing.assert_array_equal(
+                np.asarray(hi.prim_id), np.asarray(hf.prim_id)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(hi.hit_layers), np.asarray(hf.hit_layers)
+            )
+            hitm = np.asarray(hf.hit)
+            np.testing.assert_allclose(
+                np.asarray(hi.t)[hitm], np.asarray(hf.t)[hitm],
+                rtol=2e-4, atol=1e-5,
+            )
 
-        with pytest.raises(ValueError):
-            tlas.build_instanced()
+    def test_per_triangle_layer_masks(self):
+        # per-triangle layers travel through the shared slabs: half the
+        # sphere's triangles are on layer 2 (triangle.h:22-56 semantics)
+        sphere = meshes.uv_sphere(radius=1.0, rings=8, segments=16)
+        tl = np.where(np.arange(len(sphere)) % 2 == 0, 0b01,
+                      0b10).astype(np.int32)
+        tlas = SceneTLAS(backend="jnp")
+        sid = tlas.add_mesh(sphere, layers=tl)
+        tlas.add_instance(sid, translate((0, 0, 0)))
+        tlas.add_instance(sid, translate((3, 0, 0)), layers=0b01)
+        tlas.build_tlas()
+        rnd = self._rand_rays(256, 31)
+        for qm in (0b01, 0b10, 0b11):
+            hi, _, _, _ = tlas.cast_rays_instanced(rnd, query_mask=qm)
+            hf, _, _ = tlas.cast_rays(rnd, query_mask=qm)
+            np.testing.assert_array_equal(
+                np.asarray(hi.prim_id), np.asarray(hf.prim_id)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(hi.hit_layers), np.asarray(hf.hit_layers)
+            )
+
+    def test_layer_group_memory(self):
+        # distinct (mesh, inst-mask) combos get their own slab group;
+        # same-mask instances still share (memory ~ groups, not instances)
+        sphere = meshes.uv_sphere(radius=1.0, rings=6, segments=12)
+        base = SceneTLAS(backend="jnp")
+        sid = base.add_mesh(sphere)
+        base.add_instance(sid, translate((0, 0, 0)))
+        base.build_tlas()
+        one = base.build_instanced()
+        mixed = SceneTLAS(backend="jnp")
+        sid = mixed.add_mesh(sphere)
+        mixed.add_instance(sid, translate((0, 0, 0)), layers=0b01)
+        mixed.add_instance(sid, translate((3, 0, 0)), layers=0b01)
+        mixed.add_instance(sid, translate((6, 0, 0)), layers=0b10)
+        mixed.build_tlas()
+        two = mixed.build_instanced()
+        assert two.ablocks.shape[0] == 2 * one.ablocks.shape[0]

@@ -213,6 +213,12 @@ def main():
     extra["build_1m_warm_s"] = round(time.time() - t0, 2)
     del flat_scene2
 
+    # instanced warm rebuild (host-numpy slab assembly, VERDICT r3 #5)
+    t0 = time.time()
+    ct2 = tlas.build_instanced()
+    jax.block_until_ready(ct2.nodes)
+    extra["build_instanced_warm_s"] = round(time.time() - t0, 2)
+
     # ================= historical configs (round comparability) =========
     # flat ~99K composite scene, 1024x768 frame (rounds 1-2 headline)
     g = meshes.plane(40.0, y=0.0, subdiv=158)
@@ -304,13 +310,34 @@ def main():
         rays_pt = block_swizzled_frame_rays(mrt, 640, 480, cam99)
 
         def pt_frame():
-            img = pt.trace_frame(rays_pt, max_bounces=3, sample_index=1)
-            return (type("o", (), {"t": img}), None)
+            img, nrays = pt.trace_frame(rays_pt, max_bounces=3,
+                                        sample_index=1, with_counts=True)
+            return (type("o", (), {"t": img}), nrays)
 
-        dtpt, _ = timed(pt_frame, fence_hits, 3)
-        extra["pt_frame_ms_640x480_3b"] = round(dtpt * 1e3, 2)
-        extra["pt_mrays_est"] = round(
-            rays_pt.count * 4 / dtpt / 1e6, 2)  # ext+3 bounce waves
+        dtpt, out_pt = timed(pt_frame, fence_hits, 3)
+        wave_rays = int(out_pt[1])   # COUNTED live wave rays (extend +
+        extra["pt_frame_ms_640x480_3b"] = round(dtpt * 1e3, 2)  # shadow)
+        extra["pt_wave_rays"] = wave_rays
+        extra["pt_mrays"] = round(wave_rays / dtpt / 1e6, 2)
+
+        # PT over the TRUE instanced TLAS (memory ~ meshes, VERDICT r3
+        # missing #2): same frame over the 215-instance headline scene
+        pt_i = WavefrontPathTracer(tlas.instanced_scene(), lights, env,
+                                   mats)
+        cam_i = mrt.CameraParams.look_at((0, 26, 55), (0, 1, 0),
+                                         fov_degrees=60.0)
+        rays_pti = block_swizzled_frame_rays(mrt, 640, 480, cam_i)
+
+        def pt_frame_i():
+            img, nrays = pt_i.trace_frame(rays_pti, max_bounces=3,
+                                          sample_index=1,
+                                          with_counts=True)
+            return (type("o", (), {"t": img}), nrays)
+
+        dtpti, out_pti = timed(pt_frame_i, fence_hits, 3)
+        extra["pt_instanced_frame_ms_640x480_3b"] = round(dtpti * 1e3, 2)
+        extra["pt_instanced_mrays"] = round(
+            int(out_pti[1]) / dtpti / 1e6, 2)
     except Exception as e:  # PT extras must never sink the headline
         extra["pt_error"] = repr(e)[:200]
 

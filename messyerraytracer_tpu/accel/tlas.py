@@ -138,6 +138,36 @@ class BLASInstance:
         return wc.min(axis=0), wc.max(axis=0)
 
 
+@dataclasses.dataclass
+class InstancedScene:
+    """Scene-like cast view over the instanced ClusterTLAS.
+
+    Duck-types the RayScene cast interface (cast_rays/any_hit_rays ->
+    2-tuple / flags) so renderers and the wavefront path tracer consume
+    the true two-level structure directly — memory ~ meshes, prim ids
+    in the flattened global numbering (kernels/cluster_v2.py adds the
+    per-instance base in-kernel)."""
+
+    cluster_tlas: object
+    bounds: tuple
+
+    def cast_rays(self, rays: Rays, query_mask=ALL_LAYERS):
+        from ..kernels.cluster_v2 import cast_rays_cluster_tlas_v2
+
+        hits, stats, _, _ = cast_rays_cluster_tlas_v2(
+            rays, self.cluster_tlas, int(query_mask)
+        )
+        return hits, stats
+
+    def any_hit_rays(self, rays: Rays, query_mask=ALL_LAYERS):
+        from ..kernels.cluster_v2 import cast_rays_cluster_tlas_v2
+
+        _, _, occluded, _ = cast_rays_cluster_tlas_v2(
+            rays, self.cluster_tlas, int(query_mask), any_hit=True
+        )
+        return occluded
+
+
 class SceneTLAS:
     """Top-level structure over BLAS instances (scene_tlas.h:46-380).
 
@@ -357,22 +387,31 @@ class SceneTLAS:
 
         Memory ~ meshes (never flattens); prim_id is reported in the
         flattened scene's global numbering (instance base + mesh-local
-        id) so results are directly comparable with ``cast_rays``.
+        id, added IN-KERNEL at hit-select time — no per-ray gather) so
+        results are directly comparable with ``cast_rays``.
         Returns (hits, stats, occluded, instance_id)."""
-        from ..kernels.cluster_tlas import cast_rays_cluster_tlas
+        from ..kernels.cluster_v2 import cast_rays_cluster_tlas_v2
 
         if self._ctlas is None:
             self.build_instanced()
-        hits, stats, occ, inst_id = cast_rays_cluster_tlas(
+        return cast_rays_cluster_tlas_v2(
             rays, self._ctlas, query_mask=query_mask, any_hit=any_hit,
         )
-        flat_pid = jnp.where(
-            inst_id >= 0,
-            self._prim_base[jnp.maximum(inst_id, 0)] + hits.prim_id,
-            NO_HIT,
-        )
-        hits = dataclasses.replace(hits, prim_id=flat_pid)
-        return hits, stats, occ, inst_id
+
+    def instanced_scene(self):
+        """Scene-like view over the instanced cluster TLAS for renderers
+        and the wavefront path tracer: full frames with memory ~ MESHES,
+        never flattening (the reference's CPU PT traces through the TLAS
+        dispatcher, cpu_path_tracer.h:56-223 -> scene_tlas.h:203-251).
+        Prim ids are in the flattened global numbering (added in-kernel),
+        so material/attribute tables built for the flat scene apply."""
+        if self._ctlas is None:
+            self.build_instanced()
+        ct = self._ctlas
+        host = _bvh_host(ct.pair_bvh, "aabb_min"), _bvh_host(
+            ct.pair_bvh, "aabb_max")
+        bounds = (jnp.asarray(host[0][0]), jnp.asarray(host[1][0]))
+        return InstancedScene(cluster_tlas=ct, bounds=bounds)
 
     # ---- instance-accurate two-level cast (jnp reference path) -------
     def cast_rays_two_level(self, rays: Rays, query_mask=ALL_LAYERS):

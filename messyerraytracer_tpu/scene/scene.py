@@ -24,9 +24,9 @@ from ..accel.traverse import cast_rays_bvh
 from ..kernels.cluster import (
     ClusterScene,
     build_cluster_scene,
-    cast_rays_cluster,
     refresh_cluster_scene,
 )
+from ..kernels.cluster_v2 import cast_rays_cluster_v2
 from ..kernels.traverse_pallas import cast_rays_wide
 from ..kernels.wide import (WideScene, build_wide8_scene, build_wide_scene, refresh_wide_scene)
 from ..core.brute import any_hit_brute, cast_rays_brute
@@ -94,12 +94,11 @@ class RayScene:
         return 8 if self.num_tris > 300_000 else SROWS
 
     def _cluster_kw(self) -> dict:
-        """Density-routed cluster-kernel knobs (measured, PERF.md r3):
-        sub-pixel-density scenes (1M+) win from finer dense-phase row
-        groups (gr=2 cuts executed tri tests ~1.6x) and deeper drains;
-        super-pixel scenes keep the coarse defaults."""
+        """Density-routed cluster-kernel knobs (measured, PERF.md r4):
+        the v2 kernel's drains are per-row exact (no gr knob); dense
+        scenes (1M+) still win from deeper drain batches."""
         if self.num_tris > 300_000:
-            return {"gr": 2, "qd": 4}
+            return {"qd": 4}
         return {}
 
     def cast_rays(self, rays: Rays, query_mask=ALL_LAYERS) -> tuple[Hits, RayStats]:
@@ -118,7 +117,7 @@ class RayScene:
             )
             return hits, stats
         if self.backend == "cluster" and self.cluster is not None:
-            hits, stats, _ = cast_rays_cluster(
+            hits, stats, _ = cast_rays_cluster_v2(
                 rays, self.cluster, int(query_mask), **self._cluster_kw()
             )
             return hits, stats
@@ -141,7 +140,7 @@ class RayScene:
             )
             return occluded
         if self.backend == "cluster" and self.cluster is not None:
-            _, _, occluded = cast_rays_cluster(
+            _, _, occluded = cast_rays_cluster_v2(
                 rays, self.cluster, int(query_mask), any_hit=True,
                 **self._cluster_kw(),
             )

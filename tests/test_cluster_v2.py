@@ -133,8 +133,14 @@ class TestClusterV2:
         rays = rand_rays(500, seed=6)
         h2, s2, _, i2 = cast_rays_cluster_tlas_v2(rays, ct)
         h1, s1, _, i1 = cast_rays_cluster_tlas(rays, ct)
-        np.testing.assert_array_equal(np.asarray(h2.prim_id),
-                                      np.asarray(h1.prim_id))
+        # v2 reports GLOBAL flattened prim ids (instance base added in
+        # kernel); v1 reports mesh-local ids + instance
+        base = np.asarray(ct.iprim)[0]
+        i1n = np.asarray(i1)
+        exp = np.where(i1n >= 0,
+                       base[np.maximum(i1n, 0)] + np.asarray(h1.prim_id),
+                       np.asarray(h1.prim_id))
+        np.testing.assert_array_equal(np.asarray(h2.prim_id), exp)
         np.testing.assert_array_equal(np.asarray(h2.t), np.asarray(h1.t))
         np.testing.assert_array_equal(np.asarray(i2), np.asarray(i1))
         np.testing.assert_array_equal(np.asarray(h2.normal),

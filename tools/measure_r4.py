@@ -31,6 +31,8 @@ def main():
     ap.add_argument("--tcap", type=int, default=0)
     ap.add_argument("--probes", default=",noredux,nodrain,notouch,nopush,noout")
     ap.add_argument("--impl", default="v1")
+    ap.add_argument("--popn", type=int, default=1)
+    ap.add_argument("--qroom", type=int, default=16)
     args = ap.parse_args()
 
     tris = bench_scene_100k() if args.scene == "100k" else bench_scene_1m()
@@ -46,7 +48,8 @@ def main():
         from messyerraytracer_tpu.kernels.cluster_v2 import (
             cast_rays_cluster_v2 as cast_fn,
         )
-        kw = dict(srows=args.srows, qd=args.qd)
+        kw = dict(srows=args.srows, qd=args.qd, popn=args.popn,
+                  qroom=args.qroom)
     else:
         cast_fn = cast_rays_cluster
         kw = dict(srows=args.srows, qd=args.qd, gr=args.gr)

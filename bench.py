@@ -243,7 +243,10 @@ def main():
     dt99, out99 = timed(lambda: scene99.cast_rays(rays99), fence_hits, 10)
     stats99 = out99[1]
     pops = float(stats99.bvh_nodes_visited)
-    issued_gflop = pops * 2.0e6 / 1e9
+    # v2 issued-work model: pops x (8 children x 27 flops x 2048 lanes)
+    # + per-row-exact dense tests x ~40 flops per (ray,tri) pair
+    issued_gflop = (pops * 0.44e6
+                    + float(stats99.tri_tests) * 40.0) / 1e9
     extra.update({
         "mrays_99k_flat": round(rays99.count / dt99 / 1e6, 3),
         "parity_99k": parity(hs99, hb99),

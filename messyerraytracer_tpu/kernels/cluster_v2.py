@@ -80,7 +80,7 @@ def _cluster_kernel_v2(
     *refs,
     any_hit: bool, dummy_enc: int, srows: int, tcap: int,
     num_tiles: int, qd: int, popn: int = 1, qroom: int = 16,
-    n_inst: int = 0, probe: str = "",
+    dmode: str = "bitloop", n_inst: int = 0, probe: str = "",
 ):
     # refs: rays_hbm, nodes_hbm, ablk_hbm, [islab, iprim, iinv, ifwd,]
     # fout_hbm, iout_hbm, pops_out, then scratch (see _call_cluster_v2)
@@ -200,16 +200,15 @@ def _cluster_kernel_v2(
             for f in range(8):
                 rbuf2[r * 8 + f, :] = ray_buf[base + f * srows + r, :]
 
-        def row_phase(i, ab, mrot, inst_scalars):
-            """Dense (T,128) intersection of ray row ``i`` (dynamic index)
-            against cluster slab ``ab`` (hoisted to the drain — read once
-            per cluster, not per row).  Reads/writes the row's state with
-            one dynamic access per ref — no value carries.
-            """
+        def row_core(rr, sr, ir, ab, mrot, inst_scalars):
+            """Dense (T,128) intersection of one ray row against cluster
+            slab ``ab`` — pure values in, updated state rows out.
+
+            rr: (8,128) ray fields; sr: (SF_N,128) / ir: (SI_N,128)
+            state rows.  Returns (sr_new, ir_new, cap_new)."""
             ax, ay, az = mrot[0, 0], mrot[0, 1], mrot[0, 2]
             cnt = mrot[0, 3]
 
-            rr = rbuf2[pl.ds(i * 8, 8), :]
             oxr, oyr, ozr = rr[0:1, :], rr[1:2, :], rr[2:3, :]
             dxr, dyr, dzr = rr[3:4, :], rr[4:5, :], rr[5:6, :]
             tminr, tmaxr = rr[6:7, :], rr[7:8, :]
@@ -262,8 +261,6 @@ def _cluster_kernel_v2(
             v = vn * idet
             t = tn * idet + tau
 
-            sr = sf[pl.ds(i * SF_N, SF_N), :]     # one dynamic read
-            ir = si[pl.ds(i * SI_N, SI_N), :]
             bestr = sr[BEST:BEST + 1, :]
             valid = (
                 ok
@@ -305,19 +302,30 @@ def _cluster_kernel_v2(
                 iib = ir[II:II + 1, :]
 
             bnew = jnp.where(better, tb, bestr)
-            sf[pl.ds(i * SF_N, SF_N), :] = jnp.concatenate(
+            sr_new = jnp.concatenate(
                 [bnew,
                  jnp.where(better, ub, sr[UU:UU + 1, :]),
                  jnp.where(better, vb, sr[VV:VV + 1, :]),
                  jnp.where(better, nxb, sr[NX:NX + 1, :]),
                  jnp.where(better, nyb, sr[NY:NY + 1, :]),
                  jnp.where(better, nzb, sr[NZ:NZ + 1, :])], axis=0)
-            si[pl.ds(i * SI_N, SI_N), :] = jnp.concatenate(
+            ir_new = jnp.concatenate(
                 [jnp.where(better, pidb, ir[PID:PID + 1, :]),
                  jnp.where(better, layb, ir[LAY:LAY + 1, :]),
                  ir[TT:TT + 1, :] + cnt.astype(jnp.int32),
                  iib], axis=0)
-            cap_ref[pl.ds(i, 1), :] = jnp.minimum(bnew, tmaxr)
+            return sr_new, ir_new, jnp.minimum(bnew, tmaxr)
+
+        def row_phase(i, ab, mrot, inst_scalars):
+            """Dynamic-index wrapper around row_core: one dynamic read +
+            one dynamic write per state ref for ray row ``i``."""
+            rr = rbuf2[pl.ds(i * 8, 8), :]
+            sr = sf[pl.ds(i * SF_N, SF_N), :]
+            ir = si[pl.ds(i * SI_N, SI_N), :]
+            sr2, ir2, cap2 = row_core(rr, sr, ir, ab, mrot, inst_scalars)
+            sf[pl.ds(i * SF_N, SF_N), :] = sr2
+            si[pl.ds(i * SI_N, SI_N), :] = ir2
+            cap_ref[pl.ds(i, 1), :] = cap2
 
         def drain_one(li, slot_idx, rowmasks):
             """Drain one queued cluster: wait its slab DMA, then run a
@@ -343,6 +351,55 @@ def _cluster_kernel_v2(
             # read per CLUSTER, closed over by every row phase
             ab = qland[pl.ds(slot_idx * br, tcap), :]
             mrot = qland[pl.ds(slot_idx * br + tcap, 1), :]
+
+            if dmode in ("all", "when"):
+                # static unrolled sweeps: "all" executes every row
+                # (parity-safe, the dense MT is exact); "when" gates
+                # each static row on its mask bit (no value merges)
+                for i in range(srows):
+                    if dmode == "all":
+                        row_phase(i, ab, mrot, inst_scalars)
+                    else:
+                        bit = (jax.lax.shift_right_logical(
+                            rowmasks[i // 16], i % 16) & 1) == 1
+
+                        @pl.when(bit)
+                        def _(i=i):
+                            row_phase(i, ab, mrot, inst_scalars)
+                return
+            if dmode.startswith("gr"):
+                # static groups of g rows behind ONE when each — v1's
+                # group structure without its value-carry merges: every
+                # address is STATIC (g0/i are Python ints), the group's
+                # state is read/written once, and the g row_cores
+                # pipeline at the unrolled rate
+                g = int(dmode[2:])
+                for g0 in range(0, srows, g):
+                    nib = (jax.lax.shift_right_logical(
+                        rowmasks[g0 // 16], g0 % 16) & ((1 << g) - 1))
+                    hi = min(g0 + g, srows)
+
+                    @pl.when(nib != 0)
+                    def _(g0=g0, hi=hi):
+                        srg = sf[g0 * SF_N: hi * SF_N, :]
+                        irg = si[g0 * SI_N: hi * SI_N, :]
+                        srs, irs, caps = [], [], []
+                        for i in range(g0, hi):
+                            k = i - g0
+                            rr = rbuf2[i * 8:(i + 1) * 8, :]
+                            s2, i2, c2 = row_core(
+                                rr, srg[k * SF_N:(k + 1) * SF_N, :],
+                                irg[k * SI_N:(k + 1) * SI_N, :],
+                                ab, mrot, inst_scalars)
+                            srs.append(s2)
+                            irs.append(i2)
+                            caps.append(c2)
+                        sf[g0 * SF_N: hi * SF_N, :] = jnp.concatenate(
+                            srs, axis=0)
+                        si[g0 * SI_N: hi * SI_N, :] = jnp.concatenate(
+                            irs, axis=0)
+                        cap_ref[g0:hi, :] = jnp.concatenate(caps, axis=0)
+                return
 
             for seg in range(nseg):
                 rm0 = rowmasks[seg]
@@ -589,8 +646,8 @@ def _cluster_kernel_v2(
 
 def _call_cluster_v2(rays_packed, nodes, ablocks, *, any_hit, interpret,
                      num_tiles, dummy_enc, srows, tcap, qd, popn=1,
-                     qroom=16, probe="", islab=None, iprim=None,
-                     iinv=None, ifwd=None):
+                     qroom=16, dmode="bitloop", probe="", islab=None,
+                     iprim=None, iinv=None, ifwd=None):
     from .traverse_pallas import _to_columnar
 
     nodes = _to_columnar(nodes, NODE8_STRIDE, NODE8_STRIDE)
@@ -603,7 +660,7 @@ def _call_cluster_v2(rays_packed, nodes, ablocks, *, any_hit, interpret,
     kern = functools.partial(
         _cluster_kernel_v2, any_hit=any_hit, dummy_enc=dummy_enc,
         srows=srows, tcap=tcap, num_tiles=num_tiles, qd=qd, popn=popn,
-        qroom=qroom, probe=probe, n_inst=n_inst,
+        qroom=qroom, dmode=dmode, probe=probe, n_inst=n_inst,
     )
     hbm = pl.BlockSpec(memory_space=pl.ANY)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -721,6 +778,7 @@ def cast_rays_cluster_v2(
     qd: int = V2_QD,
     popn: int = 1,
     qroom: int = 16,
+    dmode: str = "bitloop",
     probe: str = "",
     return_per_ray: bool = False,
 ):
@@ -733,7 +791,7 @@ def cast_rays_cluster_v2(
     hits, stats, found, tt, nv = _cast_v2_jit(
         rays, cs, query_mask=int(query_mask), any_hit=any_hit,
         interpret=interpret, srows=srows, qd=qd, popn=popn, qroom=qroom,
-        probe=probe,
+        dmode=dmode, probe=probe,
     )
     if return_per_ray:
         return hits, stats, found, {"tri_tests": tt, "node_visits": nv}
@@ -743,10 +801,10 @@ def cast_rays_cluster_v2(
 @functools.partial(
     jax.jit,
     static_argnames=("query_mask", "any_hit", "interpret", "srows", "qd",
-                     "popn", "qroom", "probe"),
+                     "popn", "qroom", "dmode", "probe"),
 )
 def _cast_v2_jit(rays, cs, *, query_mask, any_hit, interpret, srows, qd,
-                 popn, qroom, probe):
+                 popn, qroom, dmode, probe):
     from .cluster import _mask_ablocks
 
     n = rays.count
@@ -761,7 +819,7 @@ def _cast_v2_jit(rays, cs, *, query_mask, any_hit, interpret, srows, qd,
         packed, cs.nodes, ablocks,
         any_hit=any_hit, interpret=interpret, num_tiles=num_tiles,
         dummy_enc=cs.dummy_enc, srows=srows, tcap=cs.tcap, qd=qd,
-        popn=popn, qroom=qroom, probe=probe,
+        popn=popn, qroom=qroom, dmode=dmode, probe=probe,
     )
     hits, found, tt, _, nv = _hits_from_buffers_v2(
         fout, iout, rays, num_tiles, srows, n)

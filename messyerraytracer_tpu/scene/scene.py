@@ -94,12 +94,15 @@ class RayScene:
         return 8 if self.num_tris > 300_000 else SROWS
 
     def _cluster_kw(self) -> dict:
-        """Density-routed cluster-kernel knobs (measured, PERF.md r4):
-        the v2 kernel's drains are per-row exact (no gr knob); dense
-        scenes (1M+) still win from deeper drain batches."""
+        """Density-routed cluster-kernel knobs (measured, PERF.md r4).
+
+        Sub-pixel-density scenes (1M+): sparse row masks (~2.4/16 rows
+        per drain) — the ctz bitloop drains only set rows and deeper
+        drain batches pay off.  Super-pixel scenes: dense masks — static
+        groups of 4 rows pipeline better than the serial skip-loop."""
         if self.num_tris > 300_000:
-            return {"qd": 4}
-        return {}
+            return {"qd": 4, "dmode": "bitloop"}
+        return {"dmode": "gr4", "qd": 4}
 
     def cast_rays(self, rays: Rays, query_mask=ALL_LAYERS) -> tuple[Hits, RayStats]:
         """Batched closest-hit cast (ray_scene.h:96-131 semantics).

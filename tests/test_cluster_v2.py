@@ -145,3 +145,16 @@ class TestClusterV2:
         np.testing.assert_array_equal(np.asarray(i2), np.asarray(i1))
         np.testing.assert_array_equal(np.asarray(h2.normal),
                                       np.asarray(h1.normal))
+
+    def test_drain_modes_match(self):
+        # all drain modes execute a superset of the needed row phases;
+        # hits must be identical across modes (the dense MT is exact)
+        base, cs = small_scene()
+        rays = rand_rays(400, seed=7)
+        ref, _, _ = cast_rays_cluster_v2(rays, cs)   # bitloop default
+        for dmode in ("all", "when", "gr2", "gr4"):
+            h, _, _ = cast_rays_cluster_v2(rays, cs, dmode=dmode)
+            np.testing.assert_array_equal(np.asarray(h.prim_id),
+                                          np.asarray(ref.prim_id))
+            np.testing.assert_array_equal(np.asarray(h.t),
+                                          np.asarray(ref.t))

@@ -66,6 +66,13 @@ def main():
                 hits, stats, _ = cast_rays_cluster(
                     sr, scene.cluster, srows=srows)
                 return unshuffle_hits(hits, perm), stats
+        elif mode.startswith("win"):
+            # ascending-window multi-pass over the 6D sort (short rays
+            # shrink tile footprints; survivors re-cast compacted)
+            fracs = (tuple(float(x) for x in mode[3:].split("/"))
+                     if len(mode) > 3 else (0.05, 0.2, 0.5))
+            disp = RayDispatcher(scene, sort="6d", windows=fracs)
+            fn = lambda r: disp.cast_rays(r)
         else:
             disp = RayDispatcher(scene, sort=mode)
             fn = lambda r: disp.cast_rays(r)

@@ -33,6 +33,7 @@ def main():
     ap.add_argument("--impl", default="v1")
     ap.add_argument("--popn", type=int, default=1)
     ap.add_argument("--qroom", type=int, default=16)
+    ap.add_argument("--dmode", default="bitloop")
     args = ap.parse_args()
 
     tris = bench_scene_100k() if args.scene == "100k" else bench_scene_1m()
@@ -49,7 +50,7 @@ def main():
             cast_rays_cluster_v2 as cast_fn,
         )
         kw = dict(srows=args.srows, qd=args.qd, popn=args.popn,
-                  qroom=args.qroom)
+                  qroom=args.qroom, dmode=args.dmode)
     else:
         cast_fn = cast_rays_cluster
         kw = dict(srows=args.srows, qd=args.qd, gr=args.gr)

@@ -87,6 +87,15 @@ def timed(fn, fence, iters):
 
 def main():
     import jax
+
+    try:
+        # persistent XLA compile cache: kernel compiles survive across
+        # processes, so cold-process builds pay only real build work
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/.cache/jax_xla")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     import messyerraytracer_tpu as mrt
@@ -125,6 +134,7 @@ def main():
     m_shi = tlas.add_mesh(sphere_hi)
     m_slo = tlas.add_mesh(sphere_lo)
     m_rock = tlas.add_mesh(rock)
+    t_meshes = time.time() - t0
     for gx in range(4):                       # 16 terrain tiles = 320K
         for gz in range(4):
             tlas.add_instance(m_ter, xf((gx - 1.5) * 20, 0.0,
@@ -140,8 +150,12 @@ def main():
     for _ in range(40):                       # 40 rocks
         c = rng.uniform(-35, 35, 2)
         tlas.add_instance(m_rock, xf(c[0], 0.5, c[1]))
-    tlas.build_tlas()
+    t1 = time.time()
+    tlas.build_tlas()       # includes the FLAT twin scene (one cold
+    t_flatten = time.time() - t1  # remote-XLA refresh compile lives here)
+    t1 = time.time()
     tlas.build_instanced()
+    t_instanced = time.time() - t1
     build_tlas_s = time.time() - t0
     n_inst = len(tlas.instances)
     world_tris = tlas._world_tris_np()
@@ -198,6 +212,11 @@ def main():
         "parity_tlas_vs_brute": parity_tlas,
         "hit_rate": round(hit_rate, 3),
         "build_tlas_s": round(build_tlas_s, 2),
+        "build_phase_s": {
+            "meshes": round(t_meshes, 2),
+            "flatten": round(t_flatten, 2),
+            "instanced": round(t_instanced, 2),
+        },
         "mrays_1m_flat": round(n / dt_flat / 1e6, 3),
         "parity_1m_flat": parity_flat_1m,
         "build_1m_flat_s": round(build_flat_s, 2),

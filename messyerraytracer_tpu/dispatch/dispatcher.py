@@ -114,7 +114,8 @@ class RayDispatcher:
                 hits, stats = self._cast_windowed(scene, sorted_rays,
                                                   query_mask)
             else:
-                hits, stats = scene.cast_rays(sorted_rays, query_mask)
+                hits, stats = scene.cast_rays(sorted_rays, query_mask,
+                                               incoherent=True)
             return unshuffle_hits(hits, perm), stats
         return scene.cast_rays(rays, query_mask)
 
@@ -147,7 +148,8 @@ class RayDispatcher:
         for r in radii:
             if merged is None:  # pass 1: all rays, no compaction
                 sub = Rays(o, d, tmin0, jnp.minimum(tmax0, r))
-                h, st = scene.cast_rays(sub, query_mask)
+                h, st = scene.cast_rays(sub, query_mask,
+                                        incoherent=True)
                 newly = h.prim_id >= 0
                 merged, stats = h, st
                 live = ~newly & (tmax0 > r)
@@ -164,7 +166,8 @@ class RayDispatcher:
                 ok = live[sel] & (t_lo <= t_hi)
                 sub = Rays(o[sel], d[sel], t_lo,
                            jnp.where(ok, t_hi, -1.0))
-                h, st = scene.cast_rays(sub, query_mask)
+                h, st = scene.cast_rays(sub, query_mask,
+                                        incoherent=True)
                 stats = stats + st
                 newly = h.prim_id >= 0
                 pos = jnp.where(newly, sel, n)  # n = dropped
@@ -203,6 +206,7 @@ class RayDispatcher:
         scene = self._scene_for()
         if (not coherent) and rays.count >= MIN_BATCH_FOR_SORTING:
             sorted_rays, perm = self._sorted(rays)
-            occ = scene.any_hit_rays(sorted_rays, query_mask)
+            occ = scene.any_hit_rays(sorted_rays, query_mask,
+                                      incoherent=True)
             return unshuffle_flags(occ, perm)
         return scene.any_hit_rays(rays, query_mask)

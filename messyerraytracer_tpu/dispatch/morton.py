@@ -103,6 +103,16 @@ def sort_rays_6d(rays: Rays, lo, hi, octant_major: bool = True,
     minor instead.
 
     Returns (sorted_rays, perm) with ``sorted[i] = rays[perm[i]]``."""
+    perm = sort_perm_6d(rays, lo, hi, octant_major=octant_major,
+                        dir_bits=dir_bits)
+    return apply_permutation(rays, perm), perm
+
+
+def sort_perm_6d(rays: Rays, lo, hi, octant_major: bool = True,
+                 dir_bits: int = 1) -> jnp.ndarray:
+    """The 6D coherence-sort permutation alone (no gathers applied) —
+    for callers that permute a larger carried state themselves (the
+    wavefront tracer's carried-sort frame)."""
     if octant_major:
         b = dir_bits
         qmax = (1 << b) - 1
@@ -118,8 +128,7 @@ def sort_rays_6d(rays: Rays, lo, hi, octant_major: bool = True,
         keys = (dirm << minor) | (okey >> (27 - minor))
     else:
         keys = ray_6d_morton(rays.origin, rays.direction, lo, hi)
-    perm = jnp.argsort(keys, stable=True).astype(jnp.int32)
-    return apply_permutation(rays, perm), perm
+    return jnp.argsort(keys, stable=True).astype(jnp.int32)
 
 
 def apply_permutation(rays: Rays, perm: jnp.ndarray) -> Rays:
@@ -154,17 +163,33 @@ def unshuffle_flags(flags: jnp.ndarray, perm: jnp.ndarray) -> jnp.ndarray:
     return jnp.zeros_like(flags).at[perm].set(flags)
 
 
-def raster_block_permutation(width: int, height: int, block: int = 32) -> np.ndarray:
+def raster_block_permutation(width: int, height: int, block: int = 32,
+                             patch: tuple[int, int] | None = (16, 8)
+                             ) -> np.ndarray:
     """Static permutation: raster order -> block-major order.
 
     ``perm[i]`` = raster index of the ray that should sit at position i, so
     consecutive ``block*block`` rays form one square screen block (pad
     blocks at the right/bottom edges are smaller).  Host/numpy — it depends
-    only on (width, height, block) and is cached by callers.
+    only on (width, height, block, patch) and is cached by callers.
+
+    ``patch=(pw, ph)`` additionally orders pixels WITHIN each block by
+    pw x ph sub-patches (patch-major, raster within the patch).  With the
+    cluster kernel's per-row-exact drain gating the footprint that matters
+    is the 128-LANE ROW's, not the tile's: patch=(16, 8) makes each
+    128-ray row a 16x8 screen patch instead of a 32x4 strip, shrinking
+    the set of clusters a row touches at sub-pixel triangle density
+    (measured 1M terrain: 30.8 -> 28.7 ms, tri/ray 375 -> 315).
     """
     ys, xs = np.mgrid[0:height, 0:width]
     by, bx = ys // block, xs // block
-    # sort key: (block row, block col, y-in-block, x-in-block)
-    key = (((by * ((width + block - 1) // block) + bx) * block + ys % block)
-           * block + xs % block)
+    yb, xb = ys % block, xs % block
+    bkey = by * ((width + block - 1) // block) + bx
+    if patch is None:
+        inkey = yb * block + xb
+    else:
+        pw, ph = min(patch[0], block), min(patch[1], block)
+        pidx = (yb // ph) * (block // pw) + (xb // pw)
+        inkey = (pidx * ph + yb % ph) * pw + xb % pw
+    key = bkey * (block * block) + inkey
     return np.argsort(key.reshape(-1), kind="stable").astype(np.int32)

@@ -840,6 +840,9 @@ def cast_rays_cluster_tlas_v2(
     interpret: bool | None = None,
     srows: int = V2_SROWS,
     qd: int = V2_QD,
+    popn: int = 1,
+    qroom: int = 16,
+    dmode: str = "bitloop",
     return_per_ray: bool = False,
 ):
     """v2 instanced cast over ClusterTLAS tables.  Returns
@@ -848,7 +851,8 @@ def cast_rays_cluster_tlas_v2(
         interpret = not _on_tpu()
     hits, stats, found, inst_id, tt, nv = _cast_tlas_v2_jit(
         rays, ct, query_mask=int(query_mask), any_hit=any_hit,
-        interpret=interpret, srows=srows, qd=qd,
+        interpret=interpret, srows=srows, qd=qd, popn=popn, qroom=qroom,
+        dmode=dmode,
     )
     if return_per_ray:
         return (hits, stats, found, inst_id,
@@ -858,10 +862,11 @@ def cast_rays_cluster_tlas_v2(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("query_mask", "any_hit", "interpret", "srows", "qd"),
+    static_argnames=("query_mask", "any_hit", "interpret", "srows", "qd",
+                     "popn", "qroom", "dmode"),
 )
 def _cast_tlas_v2_jit(rays, ct, *, query_mask, any_hit, interpret, srows,
-                      qd):
+                      qd, popn, qroom, dmode):
     from .cluster_tlas import _apply_tlas_mask
 
     n = rays.count
@@ -876,6 +881,7 @@ def _cast_tlas_v2_jit(rays, ct, *, query_mask, any_hit, interpret, srows,
         packed, ct.nodes, ablocks,
         any_hit=any_hit, interpret=interpret, num_tiles=num_tiles,
         dummy_enc=ct.dummy_enc, srows=srows, tcap=ct.tcap, qd=qd,
+        popn=popn, qroom=qroom, dmode=dmode,
         islab=ct.islab, iprim=ct.iprim, iinv=ct.iinv, ifwd=ct.ifwd,
     )
     hits, found, tt, inst, nv = _hits_from_buffers_v2(

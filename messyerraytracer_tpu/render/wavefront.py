@@ -145,7 +145,7 @@ class WavefrontPathTracer:
             from ..dispatch.morton import sort_rays_6d, unshuffle_hits
 
             sorted_rays, perm = sort_rays_6d(cast, *self.bounds)
-            hits, _ = self.scene.cast_rays(sorted_rays)
+            hits, _ = self.scene.cast_rays(sorted_rays, incoherent=True)
             return unshuffle_hits(hits, perm)
         hits, _ = self.scene.cast_rays(cast)
         return hits
@@ -159,7 +159,8 @@ class WavefrontPathTracer:
             sorted_rays, perm = sort_rays_6d(state.shadow_ray,
                                              *self.bounds)
             occluded = unshuffle_flags(
-                self.scene.any_hit_rays(sorted_rays), perm
+                self.scene.any_hit_rays(sorted_rays, incoherent=True),
+                perm
             )
         else:
             occluded = self.scene.any_hit_rays(state.shadow_ray)
@@ -306,7 +307,13 @@ class WavefrontPathTracer:
 
     def _trace_frame_stages(self, rays: Rays, max_bounces: int = 3,
                             sample_index: int = 0,
-                            with_counts: bool = False):
+                            with_counts: bool = False,
+                            carried: bool | None = None):
+        if carried is None:
+            carried = self.bounds is not None
+        if carried:
+            return self._trace_frame_carried(rays, max_bounces,
+                                             sample_index, with_counts)
         state = self.generate(rays, sample_index)
         wave_rays = jnp.int32(0)
         for bounce in range(max_bounces + 1):
@@ -326,6 +333,75 @@ class WavefrontPathTracer:
             return accum, wave_rays
         return accum
 
+    def _trace_frame_carried(self, rays: Rays, max_bounces: int,
+                             sample_index: int, with_counts: bool):
+        """Carried-sort frame: ONE coherence sort per bounce.
+
+        The round-3 design sorted (and unshuffled) every extend AND
+        every connect wave independently — 2 argsorts + ~28 gathered
+        fields per bounce, measured ~11 ms per sort+apply at 307K rays
+        (tools/prof_pt.py).  Here the whole path state is re-sorted
+        once per bounce by the NEXT extend ray's octant-major key and
+        the waves stay in that order: the connect wave reuses the
+        extend order (shadow origins == bounce origins, so the tiles
+        stay origin-compact; for directional lights the shadow
+        directions are globally parallel anyway), hits are consumed
+        sorted instead of unshuffled, and pixel ids ride along for one
+        final scatter.  Per-bounce cost drops to 1 argsort + ~12
+        gathered fields.  Every stage computes identical values in
+        permuted order, so the result equals the per-wave-sorted path
+        up to exact-t tie order (tile composition changes which of two
+        bit-equal-t prims the kernel keeps) and fp addition order."""
+        from ..dispatch.morton import sort_perm_6d
+
+        state = self.generate(rays, sample_index)
+        n = rays.count
+        pix = jnp.arange(n, dtype=jnp.int32)
+        wave_rays = jnp.int32(0)
+        for bounce in range(max_bounces + 1):
+            # bounce-0 primaries are camera-coherent (block-swizzled);
+            # later waves arrive pre-sorted from the bounce re-sort
+            cast = Rays(
+                origin=state.ray.origin,
+                direction=state.ray.direction,
+                t_min=state.ray.t_min,
+                t_max=jnp.where(state.active, state.ray.t_max, -1.0),
+            )
+            hits, _ = self.scene.cast_rays(cast, incoherent=bounce > 0)
+            wave_rays = wave_rays + jnp.sum(state.active.astype(jnp.int32))
+            state = self.shade(state, hits, bounce, max_bounces)
+            wave_rays = wave_rays + jnp.sum(
+                state.shadow_valid.astype(jnp.int32))
+            occluded = self.scene.any_hit_rays(state.shadow_ray,
+                                               incoherent=bounce > 0)
+            state = state.replace(
+                visibility=~occluded & state.shadow_valid)
+            if bounce < max_bounces:
+                perm = sort_perm_6d(state.ray, *self.bounds)
+                pix = pix[perm]
+                state = WavefrontState(
+                    throughput=state.throughput[perm],
+                    accum=state.accum[perm],
+                    pending_nee=state.pending_nee[perm],
+                    rng=state.rng[perm],
+                    active=state.active[perm],
+                    ray=Rays(origin=state.ray.origin[perm],
+                             direction=state.ray.direction[perm],
+                             t_min=state.ray.t_min,
+                             t_max=state.ray.t_max),
+                    shadow_ray=state.shadow_ray,   # consumed already
+                    shadow_valid=state.shadow_valid[perm],
+                    visibility=state.visibility[perm],
+                )
+        accum = state.accum + jnp.where(
+            state.visibility[:, None], state.pending_nee, 0.0
+        )
+        # one final scatter back to pixel order
+        accum = jnp.zeros_like(accum).at[pix].set(accum)
+        if with_counts:
+            return accum, wave_rays
+        return accum
+
     def trace_frame_srgb(self, rays: Rays, max_bounces: int = 3,
                          sample_index: int = 0) -> jnp.ndarray:
         linear = self.trace_frame(rays, max_bounces, sample_index)
@@ -340,19 +416,29 @@ class _ClusterSceneShim:
         self.cluster = cluster
         self.kw = dict(kw)
 
-    def cast_rays(self, rays: Rays, query_mask: int = -1):
+    def _kw(self, incoherent):
+        if not incoherent:
+            return self.kw
+        kw = dict(self.kw)
+        kw.update(dmode="bitloop", qd=4)  # sparse masks on bounce waves
+        return kw
+
+    def cast_rays(self, rays: Rays, query_mask: int = -1,
+                  incoherent: bool = False):
         from ..kernels.cluster_v2 import cast_rays_cluster_v2
 
         hits, stats, _ = cast_rays_cluster_v2(
-            rays, self.cluster, int(query_mask), **self.kw
+            rays, self.cluster, int(query_mask), **self._kw(incoherent)
         )
         return hits, stats
 
-    def any_hit_rays(self, rays: Rays, query_mask: int = -1):
+    def any_hit_rays(self, rays: Rays, query_mask: int = -1,
+                     incoherent: bool = False):
         from ..kernels.cluster_v2 import cast_rays_cluster_v2
 
         _, _, occluded = cast_rays_cluster_v2(
-            rays, self.cluster, int(query_mask), any_hit=True, **self.kw
+            rays, self.cluster, int(query_mask), any_hit=True,
+            **self._kw(incoherent)
         )
         return occluded
 
@@ -381,19 +467,30 @@ class _ClusterTLASSceneShim:
     def __init__(self, ct):
         self.ct = ct
 
-    def cast_rays(self, rays: Rays, query_mask: int = -1):
+    def _dmode(self, incoherent):
+        # sparse row masks for incoherent waves OR sub-pixel density
+        # (many (instance, cluster) pairs); dense masks otherwise
+        if incoherent or self.ct.num_pairs > 4096:
+            return "bitloop"
+        return "gr4"
+
+    def cast_rays(self, rays: Rays, query_mask: int = -1,
+                  incoherent: bool = False):
         from ..kernels.cluster_v2 import cast_rays_cluster_tlas_v2
 
         hits, stats, _, _ = cast_rays_cluster_tlas_v2(
-            rays, self.ct, int(query_mask)
+            rays, self.ct, int(query_mask),
+            dmode=self._dmode(incoherent),
         )
         return hits, stats
 
-    def any_hit_rays(self, rays: Rays, query_mask: int = -1):
+    def any_hit_rays(self, rays: Rays, query_mask: int = -1,
+                     incoherent: bool = False):
         from ..kernels.cluster_v2 import cast_rays_cluster_tlas_v2
 
         _, _, occluded, _ = cast_rays_cluster_tlas_v2(
-            rays, self.ct, int(query_mask), any_hit=True
+            rays, self.ct, int(query_mask), any_hit=True,
+            dmode=self._dmode(incoherent),
         )
         return occluded
 
@@ -413,4 +510,5 @@ def _wavefront_frame_cluster_tlas(ct, bounds, lights, env, materials,
                              mat_id_of_prim=mat_id_of_prim,
                              attributes=attributes, atlas=atlas,
                              bounds=bounds)
-    return pt._trace_frame_stages(rays, max_bounces, sample_index)
+    return pt._trace_frame_stages(rays, max_bounces, sample_index,
+                                  with_counts=with_counts)

@@ -93,18 +93,21 @@ class RayScene:
 
         return 8 if self.num_tris > 300_000 else SROWS
 
-    def _cluster_kw(self) -> dict:
+    def _cluster_kw(self, incoherent: bool = False) -> dict:
         """Density-routed cluster-kernel knobs (measured, PERF.md r4).
 
         Sub-pixel-density scenes (1M+): sparse row masks (~2.4/16 rows
         per drain) — the ctz bitloop drains only set rows and deeper
         drain batches pay off.  Super-pixel scenes: dense masks — static
-        groups of 4 rows pipeline better than the serial skip-loop."""
-        if self.num_tris > 300_000:
+        groups of 4 rows pipeline better than the serial skip-loop.
+        INCOHERENT batches have sparse masks at any scene density (the
+        dispatcher's sorted path passes the hint)."""
+        if incoherent or self.num_tris > 300_000:
             return {"qd": 4, "dmode": "bitloop"}
         return {"dmode": "gr4", "qd": 4}
 
-    def cast_rays(self, rays: Rays, query_mask=ALL_LAYERS) -> tuple[Hits, RayStats]:
+    def cast_rays(self, rays: Rays, query_mask=ALL_LAYERS,
+                  incoherent: bool = False) -> tuple[Hits, RayStats]:
         """Batched closest-hit cast (ray_scene.h:96-131 semantics).
 
         Routes to the Pallas packet kernel, the frontier (dense BFS)
@@ -121,7 +124,8 @@ class RayScene:
             return hits, stats
         if self.backend == "cluster" and self.cluster is not None:
             hits, stats, _ = cast_rays_cluster_v2(
-                rays, self.cluster, int(query_mask), **self._cluster_kw()
+                rays, self.cluster, int(query_mask),
+                **self._cluster_kw(incoherent)
             )
             return hits, stats
         if self.backend == "pallas" and self.wide is not None:
@@ -132,7 +136,8 @@ class RayScene:
         hits, stats, _ = cast_rays_bvh(rays, self.tris, self.bvh, query_mask)
         return hits, stats
 
-    def any_hit_rays(self, rays: Rays, query_mask=ALL_LAYERS) -> jnp.ndarray:
+    def any_hit_rays(self, rays: Rays, query_mask=ALL_LAYERS,
+                     incoherent: bool = False) -> jnp.ndarray:
         """Batched occlusion query (ray_scene.h:135-160 semantics)."""
         if not self.use_bvh or self.backend == "brute":
             return any_hit_brute(rays, self.tris, query_mask)
@@ -145,7 +150,7 @@ class RayScene:
         if self.backend == "cluster" and self.cluster is not None:
             _, _, occluded = cast_rays_cluster_v2(
                 rays, self.cluster, int(query_mask), any_hit=True,
-                **self._cluster_kw(),
+                **self._cluster_kw(incoherent),
             )
             return occluded
         if self.backend == "pallas" and self.wide is not None:

@@ -120,6 +120,12 @@ class TestWavefront:
         eager_img = np.asarray(wf._trace_frame_stages(rays, max_bounces=2,
                                                       sample_index=3))
         assert np.allclose(jit_img, eager_img, rtol=1e-4, atol=1e-5)
+        # the carried-sort production frame must also match the legacy
+        # per-wave-sorted eager path (same RNG streams, same estimator;
+        # permuted execution order only)
+        legacy_img = np.asarray(wf._trace_frame_stages(
+            rays, max_bounces=2, sample_index=3, carried=False))
+        assert np.allclose(jit_img, legacy_img, rtol=1e-4, atol=1e-5)
 
     def test_russian_roulette_terminates_and_stays_finite(self):
         # RR from bounce 2 (pt_shade.comp.glsl:753-764): deep-bounce

@@ -13,6 +13,14 @@ sys.path.insert(0, ".")
 
 import jax.numpy as jnp
 
+import jax
+
+try:
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_xla")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+except Exception:
+    pass
+
 import messyerraytracer_tpu as mrt  # noqa: F401
 from messyerraytracer_tpu.kernels.cluster import (
     build_cluster_scene, cast_rays_cluster, cluster_tcap_for,

@@ -109,10 +109,16 @@ def sort_rays_6d(rays: Rays, lo, hi, octant_major: bool = True,
 
 
 def sort_perm_6d(rays: Rays, lo, hi, octant_major: bool = True,
-                 dir_bits: int = 1) -> jnp.ndarray:
+                 dir_bits: int = 1, live=None) -> jnp.ndarray:
     """The 6D coherence-sort permutation alone (no gathers applied) —
     for callers that permute a larger carried state themselves (the
-    wavefront tracer's carried-sort frame)."""
+    wavefront tracer's carried-sort frame).
+
+    ``live`` (bool (N,), optional): dead rays get the maximal key so
+    they compact at the END into all-dead kernel tiles (which exit
+    after one root pop) instead of diluting live rows — late PT waves
+    are mostly dead (RR + misses) and otherwise pay near-full-frame
+    traversal cost."""
     if octant_major:
         b = dir_bits
         qmax = (1 << b) - 1
@@ -128,7 +134,19 @@ def sort_perm_6d(rays: Rays, lo, hi, octant_major: bool = True,
         keys = (dirm << minor) | (okey >> (27 - minor))
     else:
         keys = ray_6d_morton(rays.origin, rays.direction, lo, hi)
+    if live is not None:
+        keys = jnp.where(live, keys, jnp.int32(0x7FFFFFFF))
     return jnp.argsort(keys, stable=True).astype(jnp.int32)
+
+
+# NOTE (measured, PERF.md r4): a cumsum-based stable partition looked
+# cheaper than an argsort for live-first compaction, but jnp.cumsum at
+# wave size is CATASTROPHIC on TPU — 14.6 SECONDS at 307K elements (XLA
+# lowers it to a quadratic reduce_window); jax.lax.associative_scan is
+# 5 ms and a stable bool argsort is 3.6 ms.  Scatters are also ~5x the
+# cost of gathers (30 vs 5.7 ms for 3 columns).  Compaction is therefore
+# done with masked-key argsort + gathers (sort_perm_6d(live=...)), never
+# cumsum + scatter.
 
 
 def apply_permutation(rays: Rays, perm: jnp.ndarray) -> Rays:

@@ -862,7 +862,10 @@ def _cluster_kernel(
                      ii[i]) = gout[idx * NF: idx * NF + NF]
             bestc = jnp.concatenate(best, axis=0)
             best = rows(bestc)
-            return repack(jnp.minimum(bestc, TMAX))
+            # dead lanes keep cap = -_BIG (see init): min(best, TMAX)
+            # would raise them back to -1, re-opening enclosing-box hits
+            return repack(jnp.where(LIVE, jnp.minimum(bestc, TMAX),
+                                    -_BIG))
 
         def step_fn(st):
             (sp, qh, qt, cap, best, uu, vv, tt, nx, ny, nz, pid, lay,
@@ -1023,7 +1026,14 @@ def _cluster_kernel(
         shape = (srows, 128)
         init = (
             jnp.int32(1), jnp.int32(0), jnp.int32(0),
-            jnp.minimum(jnp.full(shape, _BIG, jnp.float32), TMAX),  # cap
+            # cap: DEAD lanes (tmax < tmin) get -_BIG, not raw tmax —
+            # ``tn <= cap`` with cap = -1 still passes for boxes
+            # enclosing the stale origin, so dead rays would traverse
+            # the whole tree (measured 78 ms for a 307K wave with 8K
+            # live rays, PERF.md r4)
+            jnp.where(LIVE,
+                      jnp.minimum(jnp.full(shape, _BIG, jnp.float32),
+                                  TMAX), -_BIG),
             jnp.full(shape, _BIG, jnp.float32),                     # best
             jnp.zeros(shape, jnp.float32),                          # u
             jnp.zeros(shape, jnp.float32),                          # v

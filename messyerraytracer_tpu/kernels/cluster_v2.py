@@ -186,8 +186,15 @@ def _cluster_kernel_v2(
         pat6 = jax.lax.broadcasted_iota(
             jnp.int32, (SF_N * (srows + 1), 128), 0) % SF_N
         sf[...] = jnp.where(pat6 == BEST, _BIG, 0.0)
-        cap_ref[pl.ds(0, srows), :] = jnp.minimum(
-            jnp.full(shape, _BIG, jnp.float32), TMAX)
+        # DEAD lanes (tmax < tmin: retired/padded/RR-killed wave rays)
+        # get cap = -_BIG, not their raw tmax: a slab test ``tn <= cap``
+        # with cap = -1 still PASSES for boxes enclosing the stale
+        # origin (tn is very negative inside a box), so dead rays would
+        # traverse the whole tree — measured 78 ms for a 307K wave with
+        # 8K live rays before this guard (PERF.md r4)
+        cap_ref[pl.ds(0, srows), :] = jnp.where(
+            LIVE, jnp.minimum(jnp.full(shape, _BIG, jnp.float32), TMAX),
+            -_BIG)
         cap_ref[srows, :] = jnp.full((128,), _BIG, jnp.float32)
         pat4 = jax.lax.broadcasted_iota(
             jnp.int32, (SI_N * (srows + 1), 128), 0) % SI_N
@@ -314,7 +321,11 @@ def _cluster_kernel_v2(
                  jnp.where(better, layb, ir[LAY:LAY + 1, :]),
                  ir[TT:TT + 1, :] + cnt.astype(jnp.int32),
                  iib], axis=0)
-            return sr_new, ir_new, jnp.minimum(bnew, tmaxr)
+            # dead lanes keep cap = -_BIG (see the tile init note): a
+            # plain min(best, tmax) would raise a dead lane's cap back
+            # to -1, re-opening enclosing-box slab hits
+            return sr_new, ir_new, jnp.where(
+                tmaxr >= tminr, jnp.minimum(bnew, tmaxr), -_BIG)
 
         def row_phase(i, ab, mrot, inst_scalars):
             """Dynamic-index wrapper around row_core: one dynamic read +

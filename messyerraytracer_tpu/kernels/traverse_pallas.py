@@ -257,7 +257,8 @@ def _traverse_kernel(
                 uu = jnp.where(valid, u, uu)
                 vv = jnp.where(valid, v, vv)
             tt = tt + rot[0, 36].astype(jnp.int32)
-            cap = jnp.minimum(best_t, t_max)
+            cap = jnp.where(t_max >= t_min,
+                            jnp.minimum(best_t, t_max), -_BIG)
             return sp, cap, best_t, slot, uu, vv, tt
 
         def internal_fn(args):
@@ -369,7 +370,12 @@ def _traverse_kernel(
         return sp, cap, best_t, slot, uu, vv, tt, pops, e_next
 
     common_init = (
-        tuple(jnp.minimum(jnp.full(shape, _BIG, jnp.float32), TMAX[si])
+        # dead lanes (tmax < tmin) cap at -_BIG: ``tn <= cap`` with a
+        # raw -1 cap still passes for boxes ENCLOSING the stale origin,
+        # so dead/padded rays would traverse the whole tree (PERF.md r4)
+        tuple(jnp.where(TMAX[si] >= TMIN[si],
+                        jnp.minimum(jnp.full(shape, _BIG, jnp.float32),
+                                    TMAX[si]), -_BIG)
               for si in range(n_slots)),
         tuple(jnp.full(shape, _BIG, jnp.float32) for _ in range(n_slots)),
         tuple(jnp.full(shape, -1, jnp.int32) for _ in range(n_slots)),
@@ -798,7 +804,8 @@ def _mega_kernel(
                         li, j, best_t, slot, uu, vv, tt
                     )
             qh = qh + jnp.minimum(qlen, qdrain)
-            cap = jnp.minimum(best_t, t_max)
+            cap = jnp.where(t_max >= t_min,
+                            jnp.minimum(best_t, t_max), -_BIG)
 
             # ---- one internal-node pop (branch-free: when the stack is
             # empty or the queue lacks room the NaN dummy node pops — no
@@ -957,7 +964,9 @@ def _mega_kernel(
             (
                 jnp.int32(1),                 # sp (root pushed)
                 jnp.int32(0), jnp.int32(0),   # qh, qt
-                jnp.minimum(jnp.full(shape, _BIG, jnp.float32), TMAX[si]),
+                jnp.where(TMAX[si] >= TMIN[si],
+                          jnp.minimum(jnp.full(shape, _BIG, jnp.float32),
+                                      TMAX[si]), -_BIG),  # dead: -_BIG
                 jnp.full(shape, _BIG, jnp.float32),
                 jnp.full(shape, -1, jnp.int32),
                 jnp.zeros(shape, jnp.float32),

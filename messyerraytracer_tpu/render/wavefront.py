@@ -352,7 +352,11 @@ class WavefrontPathTracer:
         permuted order, so the result equals the per-wave-sorted path
         up to exact-t tie order (tile composition changes which of two
         bit-equal-t prims the kernel keeps) and fp addition order."""
-        from ..dispatch.morton import sort_perm_6d
+        from ..dispatch.morton import (
+            apply_permutation,
+            sort_perm_6d,
+            unshuffle_flags,
+        )
 
         state = self.generate(rays, sample_index)
         n = rays.count
@@ -372,12 +376,23 @@ class WavefrontPathTracer:
             state = self.shade(state, hits, bounce, max_bounces)
             wave_rays = wave_rays + jnp.sum(
                 state.shadow_valid.astype(jnp.int32))
-            occluded = self.scene.any_hit_rays(state.shadow_ray,
-                                               incoherent=bounce > 0)
+            # connect: bounce-0 shadow rays are camera-coherent (pixel
+            # order); later waves get their own valid-first 6D sort —
+            # shadow origins sit at hit points, not at the extend keys
+            if bounce > 0:
+                sperm = sort_perm_6d(state.shadow_ray, *self.bounds,
+                                     live=state.shadow_valid)
+                occ_s = self.scene.any_hit_rays(
+                    apply_permutation(state.shadow_ray, sperm),
+                    incoherent=True)
+                occluded = unshuffle_flags(occ_s, sperm)
+            else:
+                occluded = self.scene.any_hit_rays(state.shadow_ray)
             state = state.replace(
                 visibility=~occluded & state.shadow_valid)
             if bounce < max_bounces:
-                perm = sort_perm_6d(state.ray, *self.bounds)
+                perm = sort_perm_6d(state.ray, *self.bounds,
+                                    live=state.active)
                 pix = pix[perm]
                 state = WavefrontState(
                     throughput=state.throughput[perm],

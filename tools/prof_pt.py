@@ -168,18 +168,27 @@ def main():
         state = pt.shade(state, hits, bounce, args.bounces)
         nsh = int(jnp.sum(state.shadow_valid))
 
-        @jax.jit
-        def conn_w(sr):
-            return scene.any_hit_rays(sr, incoherent=bounce > 0)
+        from messyerraytracer_tpu.dispatch.morton import (
+            apply_permutation, unshuffle_flags,
+        )
 
-        dt = timeit(lambda: conn_w(state.shadow_ray),
+        @jax.jit
+        def conn_w(sr, valid):
+            if bounce == 0:
+                return scene.any_hit_rays(sr)
+            sp = sort_perm_6d(sr, *bounds2, live=valid)
+            occ_s = scene.any_hit_rays(apply_permutation(sr, sp),
+                                       incoherent=True)
+            return unshuffle_flags(occ_s, sp)
+
+        dt = timeit(lambda: conn_w(state.shadow_ray, state.shadow_valid),
                     lambda o: float(jnp.sum(o)))
-        occ = conn_w(state.shadow_ray)
+        occ = conn_w(state.shadow_ray, state.shadow_valid)
         print(f"connect b{bounce} : {dt*1e3:7.1f} ms  valid={nsh}",
               flush=True)
         state = state.replace(visibility=~occ & state.shadow_valid)
         if bounce < args.bounces:
-            perm = sort_perm_6d(state.ray, *bounds2)
+            perm = sort_perm_6d(state.ray, *bounds2, live=state.active)
             from messyerraytracer_tpu.render.wavefront import (
                 WavefrontState,
             )

@@ -85,12 +85,12 @@ def _cluster_kernel_v2(
     # refs: rays_hbm, nodes_hbm, ablk_hbm, [islab, iprim, iinv, ifwd,]
     # fout_hbm, iout_hbm, pops_out, then scratch (see _call_cluster_v2)
     if n_inst:
-        (rays_hbm, nodes_hbm, ablk_hbm, islab, iprim, iinv, ifwd,
+        (rays_hbm, nodes_hbm, ablk_hbm, islab, iprim, iinv, ifwd, tlv,
          fout_hbm, iout_hbm, pops_out,
          ray_buf, rbuf2, fbuf, ibuf, sf, si, cap_ref, nv_ref, stack_ref,
          queue_ref, qmask_ref, nodes_ref, qland, colbc_ref, sems) = refs
     else:
-        (rays_hbm, nodes_hbm, ablk_hbm,
+        (rays_hbm, nodes_hbm, ablk_hbm, tlv,
          fout_hbm, iout_hbm, pops_out,
          ray_buf, rbuf2, fbuf, ibuf, sf, si, cap_ref, nv_ref, stack_ref,
          queue_ref, qmask_ref, nodes_ref, qland, colbc_ref, sems) = refs
@@ -158,7 +158,7 @@ def _cluster_kernel_v2(
     BEST, UU, VV, NX, NY, NZ = range(SF_N)
     PID, LAY, TT, II = range(SI_N)
 
-    def group_body(g, pops_total):
+    def group_body(g, carry):
         pb = g & 1
         _ray_in(g, pb).wait()
 
@@ -166,6 +166,43 @@ def _cluster_kernel_v2(
         def _():
             _ray_in(g + 1, 1 - pb).start()
 
+        # out-buffer reuse gate (moved ahead of the liveness branch so
+        # BOTH branches may write fbuf/ibuf; the g-2 DMA has had a full
+        # tile's compute time to finish, so this wait is ~free)
+        @pl.when(g >= 2)
+        def _():
+            _f_out(g - 2, pb).wait()
+            _i_out(g - 2, pb).wait()
+
+        fb = pb * frows
+        ib = pb * irows
+
+        @pl.when(tlv[0, g] == 0)
+        def _():
+            # ALL-DEAD tile (compacted tail of a PT wave, or pure pad):
+            # constant miss planes, no init / traversal / epilogue —
+            # ~us instead of the ~0.1 ms per-tile floor (PERF.md r4)
+            fbuf[pl.ds(fb, srows), :] = jnp.full(
+                (srows, 128), T_MAX_DEFAULT, jnp.float32)
+            fbuf[pl.ds(fb + srows, 5 * srows), :] = jnp.zeros(
+                (5 * srows, 128), jnp.float32)
+            ibuf[pl.ds(ib, srows), :] = jnp.full(
+                (srows, 128), -1, jnp.int32)
+            ibuf[pl.ds(ib + srows, 2 * srows), :] = jnp.zeros(
+                (2 * srows, 128), jnp.int32)
+            ibuf[pl.ds(ib + 3 * srows, srows), :] = jnp.full(
+                (srows, 128), -1, jnp.int32)
+            ibuf[pl.ds(ib + 4 * srows, srows), :] = jnp.zeros(
+                (srows, 128), jnp.int32)
+
+        @pl.when(tlv[0, g] != 0)
+        def _():
+            _live_tile_body(g, pb)
+        _f_out(g, pb).start()
+        _i_out(g, pb).start()
+        return carry
+
+    def _live_tile_body(g, pb):
         base = pb * rrows
         O = tuple(ray_buf[pl.ds(base + f * srows, srows), :]
                   for f in range(3))
@@ -607,11 +644,6 @@ def _cluster_kernel_v2(
 
             jax.lax.fori_loop(0, QCAP, clean, qh)
 
-        @pl.when(g >= 2)
-        def _():
-            _f_out(g - 2, pb).wait()
-            _i_out(g - 2, pb).wait()
-
         # row-major -> field planes: static strided reads, once per tile
         def fplane(f):
             return jnp.concatenate(
@@ -641,24 +673,21 @@ def _cluster_kernel_v2(
         ibuf[pl.ds(ib + 2 * srows, srows), :] = iplane(TT)
         ibuf[pl.ds(ib + 3 * srows, srows), :] = iplane(II)
         ibuf[pl.ds(ib + 4 * srows, srows), :] = nv_ref[...]
-        _f_out(g, pb).start()
-        _i_out(g, pb).start()
-        return (pops_total[0] + pops, pops_total[1] + iters)
+        pops_out[0, 0] = pops_out[0, 0] + pops
+        pops_out[0, 1] = pops_out[0, 1] + iters
 
-    pops_total = jax.lax.fori_loop(
-        0, num_tiles, group_body, (jnp.int32(0), jnp.int32(0))
-    )
+    pops_out[0, 0] = jnp.int32(0)
+    pops_out[0, 1] = jnp.int32(0)
+    jax.lax.fori_loop(0, num_tiles, group_body, jnp.int32(0))
     for g in range(max(num_tiles - 2, 0), num_tiles):
         _f_out(g, g & 1).wait()
         _i_out(g, g & 1).wait()
-    pops_out[0, 0] = pops_total[0]
-    pops_out[0, 1] = pops_total[1]
 
 
-def _call_cluster_v2(rays_packed, nodes, ablocks, *, any_hit, interpret,
-                     num_tiles, dummy_enc, srows, tcap, qd, popn=1,
-                     qroom=16, dmode="bitloop", probe="", islab=None,
-                     iprim=None, iinv=None, ifwd=None):
+def _call_cluster_v2(rays_packed, nodes, ablocks, tile_live, *, any_hit,
+                     interpret, num_tiles, dummy_enc, srows, tcap, qd,
+                     popn=1, qroom=16, dmode="bitloop", probe="",
+                     islab=None, iprim=None, iinv=None, ifwd=None):
     from .traverse_pallas import _to_columnar
 
     nodes = _to_columnar(nodes, NODE8_STRIDE, NODE8_STRIDE)
@@ -677,6 +706,8 @@ def _call_cluster_v2(rays_packed, nodes, ablocks, *, any_hit, interpret,
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     extra_in = [smem, smem, smem, smem] if n_inst else []
     extra_args = [islab, iprim, iinv, ifwd] if n_inst else []
+    extra_in.append(smem)            # tile_live (1, num_tiles)
+    extra_args.append(tile_live)
     cp = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
     return pl.pallas_call(
         kern,
@@ -775,6 +806,20 @@ def _pack_ray_fields(rays, num_tiles, srows, interpret):
     return _pack_rays(rfields, num_tiles, srows, interpret)
 
 
+def _tile_liveness(rays, num_tiles, srows):
+    """(1, num_tiles) i32: 1 iff the tile holds ANY live ray.  Pad rays
+    are dead by construction (t_max fill = -1), so pad tiles and the
+    all-dead tail of a live-compacted PT wave skip traversal entirely."""
+    n = rays.count
+    step = srows * 128
+    live = (rays.t_max >= rays.t_min)
+    pad = num_tiles * step - n
+    if pad:
+        live = jnp.concatenate([live, jnp.zeros((pad,), bool)])
+    return jnp.any(live.reshape(num_tiles, step),
+                   axis=1).astype(jnp.int32).reshape(1, num_tiles)
+
+
 V2_SROWS = 16
 V2_QD = CLUSTER_QD
 
@@ -827,7 +872,7 @@ def _cast_v2_jit(rays, cs, *, query_mask, any_hit, interpret, srows, qd,
         ablocks = _mask_ablocks(cs, query_mask)
 
     fout, iout, pops_tot = _call_cluster_v2(
-        packed, cs.nodes, ablocks,
+        packed, cs.nodes, ablocks, _tile_liveness(rays, num_tiles, srows),
         any_hit=any_hit, interpret=interpret, num_tiles=num_tiles,
         dummy_enc=cs.dummy_enc, srows=srows, tcap=cs.tcap, qd=qd,
         popn=popn, qroom=qroom, dmode=dmode, probe=probe,
@@ -889,7 +934,7 @@ def _cast_tlas_v2_jit(rays, ct, *, query_mask, any_hit, interpret, srows,
         ablocks = _apply_tlas_mask(ct, query_mask)
 
     fout, iout, pops_tot = _call_cluster_v2(
-        packed, ct.nodes, ablocks,
+        packed, ct.nodes, ablocks, _tile_liveness(rays, num_tiles, srows),
         any_hit=any_hit, interpret=interpret, num_tiles=num_tiles,
         dummy_enc=ct.dummy_enc, srows=srows, tcap=ct.tcap, qd=qd,
         popn=popn, qroom=qroom, dmode=dmode,

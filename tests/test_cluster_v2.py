@@ -158,3 +158,40 @@ class TestClusterV2:
                                           np.asarray(ref.prim_id))
             np.testing.assert_array_equal(np.asarray(h.t),
                                           np.asarray(ref.t))
+
+    def test_dead_tile_skip(self):
+        """All-dead tiles (compacted wave tails / pad tiles) take the
+        constant-miss fast path; mixed waves must match a full cast on
+        the live prefix and report clean misses on the dead tail."""
+        import jax.numpy as jnp
+
+        from messyerraytracer_tpu.core.types import Rays
+
+        base, cs = small_scene()
+        rays = rand_rays(3 * 2048, seed=7)   # 3 tiles at srows=16
+        n = rays.count
+        # kill the last two tiles' rays (t_max < t_min)
+        tmax = jnp.where(jnp.arange(n) < 2048, rays.t_max, -1.0)
+        mixed = Rays(origin=rays.origin, direction=rays.direction,
+                     t_min=rays.t_min, t_max=tmax)
+        hm, sm, _, pr = cast_rays_cluster_v2(mixed, cs,
+                                             return_per_ray=True)
+        live = Rays(origin=rays.origin[:2048],
+                    direction=rays.direction[:2048],
+                    t_min=rays.t_min[:2048], t_max=rays.t_max[:2048])
+        hl, _, _ = cast_rays_cluster_v2(live, cs)
+        np.testing.assert_array_equal(np.asarray(hm.prim_id)[:2048],
+                                      np.asarray(hl.prim_id))
+        np.testing.assert_array_equal(np.asarray(hm.t)[:2048],
+                                      np.asarray(hl.t))
+        dead = np.asarray(hm.prim_id)[2048:]
+        assert (dead == NO_HIT).all()
+        assert (np.asarray(pr["tri_tests"])[2048:] == 0).all()
+        assert (np.asarray(pr["node_visits"])[2048:] == 0).all()
+        # an ALL-dead wave must still return well-formed misses
+        alldead = Rays(origin=rays.origin, direction=rays.direction,
+                       t_min=rays.t_min,
+                       t_max=jnp.full((n,), -1.0, jnp.float32))
+        ha, sa, _ = cast_rays_cluster_v2(alldead, cs)
+        assert (np.asarray(ha.prim_id) == NO_HIT).all()
+        assert int(sa.bvh_nodes_visited) == 0

@@ -87,13 +87,15 @@ def _cluster_kernel_v2(
     if n_inst:
         (rays_hbm, nodes_hbm, ablk_hbm, islab, iprim, iinv, ifwd, tlv,
          fout_hbm, iout_hbm, pops_out,
-         ray_buf, rbuf2, fbuf, ibuf, sf, si, cap_ref, nv_ref, stack_ref,
-         queue_ref, qmask_ref, nodes_ref, qland, colbc_ref, sems) = refs
+         ray_buf, rbuf2, fbuf, ibuf, fconst, iconst, sf, si, cap_ref,
+         nv_ref, stack_ref, queue_ref, qmask_ref, nodes_ref, qland,
+         colbc_ref, sems) = refs
     else:
         (rays_hbm, nodes_hbm, ablk_hbm, tlv,
          fout_hbm, iout_hbm, pops_out,
-         ray_buf, rbuf2, fbuf, ibuf, sf, si, cap_ref, nv_ref, stack_ref,
-         queue_ref, qmask_ref, nodes_ref, qland, colbc_ref, sems) = refs
+         ray_buf, rbuf2, fbuf, ibuf, fconst, iconst, sf, si, cap_ref,
+         nv_ref, stack_ref, queue_ref, qmask_ref, nodes_ref, qland,
+         colbc_ref, sems) = refs
         islab = iprim = iinv = ifwd = None
 
     nstride = NODE8_STRIDE
@@ -134,9 +136,32 @@ def _cluster_kernel_v2(
             qland.at[pl.ds(slot * br, br), :], sems.at[8 + slot],
         )
 
+    def _f_out_dead(g, pb):
+        return pltpu.make_async_copy(
+            fconst, fout_hbm.at[pl.ds(g * frows, frows), :],
+            sems.at[4 + pb],
+        )
+
+    def _i_out_dead(g, pb):
+        return pltpu.make_async_copy(
+            iconst, iout_hbm.at[pl.ds(g * irows, irows), :],
+            sems.at[6 + pb],
+        )
+
     c1 = pltpu.make_async_copy(nodes_hbm, nodes_ref, sems.at[0])
     c1.start()
-    _ray_in(0, 0).start()
+
+    @pl.when(tlv[0, 0] != 0)
+    def _():
+        _ray_in(0, 0).start()
+
+    # constant miss planes streamed out verbatim by every all-dead tile
+    # (compacted PT wave tails / pure pad): t=T_MAX, u=v=n=0,
+    # pid=inst=-1, layers=tri_tests=node_visits=0
+    patf = jax.lax.broadcasted_iota(jnp.int32, (frows, 128), 0) // srows
+    fconst[...] = jnp.where(patf == 0, T_MAX_DEFAULT, 0.0)
+    pati = jax.lax.broadcasted_iota(jnp.int32, (irows, 128), 0) // srows
+    iconst[...] = jnp.where((pati == 0) | (pati == 3), -1, 0)
     c1.wait()
 
     def safe_inv(x):
@@ -160,49 +185,38 @@ def _cluster_kernel_v2(
 
     def group_body(g, carry):
         pb = g & 1
-        _ray_in(g, pb).wait()
 
-        @pl.when(g + 1 < num_tiles)
+        @pl.when((g + 1 < num_tiles)
+                 & (tlv[0, jnp.minimum(g + 1, num_tiles - 1)] != 0))
         def _():
             _ray_in(g + 1, 1 - pb).start()
 
-        # out-buffer reuse gate (moved ahead of the liveness branch so
-        # BOTH branches may write fbuf/ibuf; the g-2 DMA has had a full
-        # tile's compute time to finish, so this wait is ~free)
+        # out-buffer reuse gate (ahead of the liveness branch so both
+        # branches may start their output DMA on the shared sems; the
+        # g-2 DMA has had a full tile's compute time to finish)
         @pl.when(g >= 2)
         def _():
             _f_out(g - 2, pb).wait()
             _i_out(g - 2, pb).wait()
 
-        fb = pb * frows
-        ib = pb * irows
-
         @pl.when(tlv[0, g] == 0)
         def _():
             # ALL-DEAD tile (compacted tail of a PT wave, or pure pad):
-            # constant miss planes, no init / traversal / epilogue —
-            # ~us instead of the ~0.1 ms per-tile floor (PERF.md r4)
-            fbuf[pl.ds(fb, srows), :] = jnp.full(
-                (srows, 128), T_MAX_DEFAULT, jnp.float32)
-            fbuf[pl.ds(fb + srows, 5 * srows), :] = jnp.zeros(
-                (5 * srows, 128), jnp.float32)
-            ibuf[pl.ds(ib, srows), :] = jnp.full(
-                (srows, 128), -1, jnp.int32)
-            ibuf[pl.ds(ib + srows, 2 * srows), :] = jnp.zeros(
-                (2 * srows, 128), jnp.int32)
-            ibuf[pl.ds(ib + 3 * srows, srows), :] = jnp.full(
-                (srows, 128), -1, jnp.int32)
-            ibuf[pl.ds(ib + 4 * srows, srows), :] = jnp.zeros(
-                (srows, 128), jnp.int32)
+            # no ray DMA, no init / traversal / epilogue — just stream
+            # the prebuilt constant miss planes to HBM (~us instead of
+            # the ~0.1 ms per-tile floor, PERF.md r4)
+            _f_out_dead(g, pb).start()
+            _i_out_dead(g, pb).start()
 
         @pl.when(tlv[0, g] != 0)
         def _():
             _live_tile_body(g, pb)
-        _f_out(g, pb).start()
-        _i_out(g, pb).start()
+            _f_out(g, pb).start()
+            _i_out(g, pb).start()
         return carry
 
     def _live_tile_body(g, pb):
+        _ray_in(g, pb).wait()
         base = pb * rrows
         O = tuple(ray_buf[pl.ds(base + f * srows, srows), :]
                   for f in range(3))
@@ -724,6 +738,8 @@ def _call_cluster_v2(rays_packed, nodes, ablocks, tile_live, *, any_hit,
             pltpu.VMEM((8 * (srows + 1), 128), jnp.float32),  # row rays
             pltpu.VMEM((2 * frows, 128), jnp.float32),   # f32 out (dbuf)
             pltpu.VMEM((2 * irows, 128), jnp.int32),     # i32 out (dbuf)
+            pltpu.VMEM((frows, 128), jnp.float32),       # const miss f32
+            pltpu.VMEM((irows, 128), jnp.int32),         # const miss i32
             pltpu.VMEM((6 * (srows + 1), 128), jnp.float32),  # row state
             pltpu.VMEM((4 * (srows + 1), 128), jnp.int32),    # row state
             pltpu.VMEM((srows + 1, 128), jnp.float32),   # cap plane

@@ -61,6 +61,51 @@ from .shade import (
 PI = 3.14159265358979
 
 
+def _prefix_buckets(n: int, levels: int = 5, floor: int = 16384):
+    """Static live-prefix bucket sizes: n, then halving (2048-aligned)
+    down to ``floor``.  PT live counts shrink ~2x per bounce (measured
+    307K -> 175K -> 43K -> 22K, tools/prof_pt.py), so halving buckets
+    keep the sorted prefix within ~2x of the live count."""
+    out = [n]
+    b = n
+    for _ in range(levels - 1):
+        b = max(floor, ((b // 2) + 2047) // 2048 * 2048)
+        if b >= out[-1]:
+            break
+        out.append(b)
+    return out
+
+
+def _switch_prefix(buckets, cnt, fn):
+    """lax.switch over static prefix sizes: runs ``fn(B)`` for the
+    smallest bucket B >= cnt.  Branch bodies must be XLA-only (sorts,
+    gathers) — kernel casts are hoisted out so they stay one full-shape
+    instance (a per-bucket cluster kernel costs ~90 s Mosaic compile
+    each and wins nothing over the liveness skip, tools/prof_bucket.py).
+    """
+    if len(buckets) == 1:
+        return fn(buckets[0])
+    idx = jnp.int32(0)
+    for t in buckets[1:]:
+        idx = idx + (cnt <= t).astype(jnp.int32)
+    return jax.lax.switch(idx, [functools.partial(fn, b)
+                                for b in buckets])
+
+
+def _slice_rays(r: Rays, b: int, tail: bool = False) -> Rays:
+    sl = (lambda x: x[b:]) if tail else (lambda x: x[:b])
+    return Rays(origin=sl(r.origin), direction=sl(r.direction),
+                t_min=sl(r.t_min), t_max=sl(r.t_max))
+
+
+def _concat_rays(a: Rays, b: Rays) -> Rays:
+    cat = jnp.concatenate
+    return Rays(origin=cat([a.origin, b.origin]),
+                direction=cat([a.direction, b.direction]),
+                t_min=cat([a.t_min, b.t_min]),
+                t_max=cat([a.t_max, b.t_max]))
+
+
 @pytree_dataclass
 class WavefrontState:
     """GPU-resident path state (GPUPathStatePacked analogue,
@@ -335,7 +380,8 @@ class WavefrontPathTracer:
 
     def _trace_frame_carried(self, rays: Rays, max_bounces: int,
                              sample_index: int, with_counts: bool):
-        """Carried-sort frame: ONE coherence sort per bounce.
+        """Carried-sort frame: ONE coherence sort per bounce, at the
+        LIVE-PREFIX size.
 
         The round-3 design sorted (and unshuffled) every extend AND
         every connect wave independently — 2 argsorts + ~28 gathered
@@ -347,11 +393,24 @@ class WavefrontPathTracer:
         stay origin-compact; for directional lights the shadow
         directions are globally parallel anyway), hits are consumed
         sorted instead of unshuffled, and pixel ids ride along for one
-        final scatter.  Per-bounce cost drops to 1 argsort + ~12
-        gathered fields.  Every stage computes identical values in
-        permuted order, so the result equals the per-wave-sorted path
-        up to exact-t tie order (tile composition changes which of two
-        bit-equal-t prims the kernel keeps) and fp addition order."""
+        final scatter.
+
+        Round 4: every sort after the first runs on a STATIC PREFIX
+        bucket chosen by the previous bounce's live count (one
+        lax.switch over XLA-only branches — argsort + gathers at the
+        bucket size, untouched dead tail concatenated back).  The
+        previous live-first sort compacted all live rays into that
+        prefix, so the result is identical; the 9.3 ms full-frame sort
+        (tools/prof_pt.py) shrinks with the wave.  Kernel casts stay
+        ONE full-shape instance — the v2 liveness table already skips
+        all-dead tiles at ~us each, so shaping casts per-bucket would
+        only multiply the ~90 s/instance Mosaic compile for no runtime
+        win (measured, tools/prof_bucket.py).
+
+        Every stage computes identical values in permuted order, so
+        the result equals the per-wave-sorted path up to exact-t tie
+        order (tile composition changes which of two bit-equal-t prims
+        the kernel keeps) and fp addition order."""
         from ..dispatch.morton import (
             apply_permutation,
             sort_perm_6d,
@@ -360,8 +419,12 @@ class WavefrontPathTracer:
 
         state = self.generate(rays, sample_index)
         n = rays.count
+        buckets = _prefix_buckets(n)
         pix = jnp.arange(n, dtype=jnp.int32)
         wave_rays = jnp.int32(0)
+        # live rays are compacted into prefix[bound] by the previous
+        # bounce's sort; bound starts at n (pixel order, unsorted)
+        bound_cnt = jnp.int32(n)
         for bounce in range(max_bounces + 1):
             # bounce-0 primaries are camera-coherent (block-swizzled);
             # later waves arrive pre-sorted from the bounce re-sort
@@ -377,37 +440,70 @@ class WavefrontPathTracer:
             wave_rays = wave_rays + jnp.sum(
                 state.shadow_valid.astype(jnp.int32))
             # connect: bounce-0 shadow rays are camera-coherent (pixel
-            # order); later waves get their own valid-first 6D sort —
-            # shadow origins sit at hit points, not at the extend keys
+            # order); later waves get a valid-first 6D sort at the
+            # live-prefix bucket — shadow origins sit at hit points,
+            # one bounce fresher than the carried extend order
             if bounce > 0:
-                sperm = sort_perm_6d(state.shadow_ray, *self.bounds,
-                                     live=state.shadow_valid)
-                occ_s = self.scene.any_hit_rays(
-                    apply_permutation(state.shadow_ray, sperm),
-                    incoherent=True)
-                occluded = unshuffle_flags(occ_s, sperm)
+                # the cast itself is HOISTED OUT of the switch so the
+                # kernel stays one full-shape instance; branches only
+                # build the prefix-sorted rays + full permutation
+                def sperm_branch(B):
+                    sub = _slice_rays(state.shadow_ray, B)
+                    sperm = sort_perm_6d(sub, *self.bounds,
+                                         live=state.shadow_valid[:B])
+                    rs = _concat_rays(
+                        apply_permutation(sub, sperm),
+                        _slice_rays(state.shadow_ray, B, tail=True))
+                    return rs, jnp.concatenate(
+                        [sperm, jnp.arange(B, n, dtype=jnp.int32)])
+
+                rs, fullperm = _switch_prefix(buckets, bound_cnt,
+                                              sperm_branch)
+                occ_s = self.scene.any_hit_rays(rs, incoherent=True)
+
+                def unsh_branch(B):
+                    return jnp.concatenate(
+                        [unshuffle_flags(occ_s[:B], fullperm[:B]),
+                         occ_s[B:]])
+
+                occluded = _switch_prefix(buckets, bound_cnt,
+                                          unsh_branch)
             else:
                 occluded = self.scene.any_hit_rays(state.shadow_ray)
             state = state.replace(
                 visibility=~occluded & state.shadow_valid)
             if bounce < max_bounces:
-                perm = sort_perm_6d(state.ray, *self.bounds,
-                                    live=state.active)
-                pix = pix[perm]
-                state = WavefrontState(
-                    throughput=state.throughput[perm],
-                    accum=state.accum[perm],
-                    pending_nee=state.pending_nee[perm],
-                    rng=state.rng[perm],
-                    active=state.active[perm],
-                    ray=Rays(origin=state.ray.origin[perm],
-                             direction=state.ray.direction[perm],
-                             t_min=state.ray.t_min,
-                             t_max=state.ray.t_max),
-                    shadow_ray=state.shadow_ray,   # consumed already
-                    shadow_valid=state.shadow_valid[perm],
-                    visibility=state.visibility[perm],
-                )
+                new_cnt = jnp.sum(state.active.astype(jnp.int32))
+
+                def resort(B):
+                    sub = _slice_rays(state.ray, B)
+                    perm = sort_perm_6d(sub, *self.bounds,
+                                        live=state.active[:B])
+
+                    def ap(x):
+                        return jnp.concatenate([x[:B][perm], x[B:]],
+                                               axis=0)
+
+                    return (
+                        ap(pix),
+                        WavefrontState(
+                            throughput=ap(state.throughput),
+                            accum=ap(state.accum),
+                            pending_nee=ap(state.pending_nee),
+                            rng=ap(state.rng),
+                            active=ap(state.active),
+                            ray=Rays(origin=ap(state.ray.origin),
+                                     direction=ap(state.ray.direction),
+                                     t_min=state.ray.t_min,
+                                     t_max=state.ray.t_max),
+                            shadow_ray=state.shadow_ray,  # consumed
+                            shadow_valid=ap(state.shadow_valid),
+                            visibility=ap(state.visibility),
+                        ),
+                    )
+
+                pix, state = _switch_prefix(buckets, bound_cnt, resort)
+                bound_cnt = new_cnt
         accum = state.accum + jnp.where(
             state.visibility[:, None], state.pending_nee, 0.0
         )

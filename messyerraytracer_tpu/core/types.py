@@ -28,6 +28,17 @@ T_MIN_DEFAULT = 1e-3      # src/core/ray.h:55
 T_MAX_DEFAULT = 3.402823466e38  # FLT_MAX
 INV_DIR_EPS = 1e-9        # src/core/ray.h:81
 MT_DET_EPS = 1e-8         # src/core/triangle.h:67
+# Barycentric crack tolerance for the ANCHORED dense-MT cluster phases
+# only.  Their precomputed-plane arithmetic (kernels/cluster.py slab
+# lanes) rounds a shared-edge function differently from the classic
+# Moller-Trumbore the oracle uses, so an exactly edge-on hit can fall in
+# neither neighbor (observed: v = -1.9e-7 at 2M tris, bench parity_2m
+# false, VERDICT r4 #1).  Accepting barycentrics down to -MT_BARY_EPS
+# closes interior-edge cracks; the silhouette band it widens is ~4e-6
+# barycentric units thick (subpixel at any practical resolution).  The
+# classic-MT paths (core/geometry.py, kernels/traverse_pallas.py) keep
+# the reference's exact >= 0 test (triangle.h:73-84).
+MT_BARY_EPS = 4e-6
 NO_HIT = -1               # int32 bit pattern of UINT32_MAX (intersection.h:42)
 ALL_LAYERS = -1           # int32 bit pattern of 0xFFFFFFFF
 
@@ -215,12 +226,19 @@ class RayStats:
     rays_cast / tri_tests / bvh_nodes_visited / hits; addition merges two
     stats (the reference's per-thread merge ``operator+=``, stats.h:34-39 —
     here it is a lax reduction over kernel-accumulated outputs).
+
+    stack_drops counts traversal-stack pushes the cluster kernels had to
+    drop (stack full).  The stack is sized from the build-time worst case
+    so this is 0 by construction; a nonzero value means the cast may have
+    missed hits and MUST fail any parity gate (VERDICT r4 #1 — silent
+    drops can never pass a bench again).
     """
 
     rays_cast: jnp.ndarray
     tri_tests: jnp.ndarray
     bvh_nodes_visited: jnp.ndarray
     hits: jnp.ndarray
+    stack_drops: jnp.ndarray = 0
 
     def __add__(self, other: "RayStats") -> "RayStats":
         return RayStats(
@@ -228,6 +246,7 @@ class RayStats:
             tri_tests=self.tri_tests + other.tri_tests,
             bvh_nodes_visited=self.bvh_nodes_visited + other.bvh_nodes_visited,
             hits=self.hits + other.hits,
+            stack_drops=self.stack_drops + other.stack_drops,
         )
 
     # Derived metrics (stats.h:41-54).

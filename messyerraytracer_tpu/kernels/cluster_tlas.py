@@ -43,7 +43,6 @@ from ..core.types import (
     Hits,
     Rays,
     RayStats,
-    make_triangles,
 )
 from ..utils.struct import pytree_dataclass
 from .cluster import (
@@ -52,6 +51,7 @@ from .cluster import (
     TCAP_DEFAULT,
     _call_cluster,
     _hits_from_buffers,
+    _kstack_for,
     _pack_rays,
     _on_tpu,
     _upper_node_tables,
@@ -63,7 +63,8 @@ from .cluster import CLUSTER_QD, CLUSTER_SROWS
 MAX_INSTANCES = 1 << (23 - LOCAL_BITS)   # 1024
 
 
-@pytree_dataclass(meta_fields=("tcap", "dummy_enc", "n_inst", "num_pairs"))
+@pytree_dataclass(meta_fields=("tcap", "dummy_enc", "n_inst", "num_pairs",
+                               "stack_need"))
 class ClusterTLAS:
     """Device arrays for the instanced cluster cast."""
 
@@ -87,6 +88,7 @@ class ClusterTLAS:
     dummy_enc: int
     n_inst: int
     num_pairs: int
+    stack_need: int = 64   # build-time worst-case DFS stack bound
 
 
 def _to_mat34(t) -> np.ndarray:
@@ -147,6 +149,36 @@ def _pair_world_aabbs(obj_min, obj_max, iinv_rows_fwd):
     return jnp.min(allc, axis=1), jnp.max(allc, axis=1)
 
 
+def _pair_world_aabbs_np(obj_min, obj_max, fwd_rows):
+    """Numpy twin of ``_pair_world_aabbs`` for the BUILD path: the jit
+    version costs a cold XLA compile (~6 s measured on the bench TLAS,
+    VERDICT r4 #6) for math that is microseconds on the host; the
+    device version stays for in-jit refits (``_set_transforms_jit``).
+    Same f32 operations -> same conservative bounds."""
+    obj_min = np.asarray(obj_min, np.float32)
+    obj_max = np.asarray(obj_max, np.float32)
+    m = np.asarray(fwd_rows, np.float32)
+    wmin = np.full_like(obj_min, np.inf)
+    wmax = np.full_like(obj_min, -np.inf)
+    for cx in (0, 1):
+        for cy in (0, 1):
+            for cz in (0, 1):
+                c = np.stack(
+                    [obj_max[:, 0] if cx else obj_min[:, 0],
+                     obj_max[:, 1] if cy else obj_min[:, 1],
+                     obj_max[:, 2] if cz else obj_min[:, 2]], axis=-1)
+                w = np.stack(
+                    [m[:, 0] * c[:, 0] + m[:, 1] * c[:, 1]
+                     + m[:, 2] * c[:, 2] + m[:, 3],
+                     m[:, 4] * c[:, 0] + m[:, 5] * c[:, 1]
+                     + m[:, 6] * c[:, 2] + m[:, 7],
+                     m[:, 8] * c[:, 0] + m[:, 9] * c[:, 1]
+                     + m[:, 10] * c[:, 2] + m[:, 11]], axis=-1)
+                wmin = np.minimum(wmin, w)
+                wmax = np.maximum(wmax, w)
+    return wmin.astype(np.float32), wmax.astype(np.float32)
+
+
 def build_cluster_tlas(mesh_tris: list, instances: list,
                        tcap: int = TCAP_DEFAULT,
                        mesh_layers: list | None = None,
@@ -205,7 +237,11 @@ def build_cluster_tlas(mesh_tris: list, instances: list,
         nrm = np.cross(e1, e2)
         ln = np.linalg.norm(nrm, axis=-1, keepdims=True)
         nrm = (nrm / np.where(ln > 0, ln, 1)).astype(np.float32)
-        tris = make_triangles(pv0, pv1, pv2)
+        # host_arrange consumes the _np arrays below; build_cluster_scene
+        # never touches ``tris`` on that path, so skip make_triangles'
+        # eager device math (4.4 s of per-shape remote ops at bench
+        # scale, VERDICT r4 #6)
+        tris = None
         if mesh_layers is None or mesh_layers[mesh_id] is None:
             tl = np.full(len(v0), ALL_LAYERS, np.int32)
         else:
@@ -275,11 +311,8 @@ def build_cluster_tlas(mesh_tris: list, instances: list,
     pgid = np.concatenate(pgid)
     p = len(pgid)
 
-    wmin, wmax = _pair_world_aabbs(
-        jnp.asarray(pobj_min), jnp.asarray(pobj_max),
-        jnp.asarray(fwd_rows[pinst]),
-    )
-    wmin_h, wmax_h = np.asarray(wmin), np.asarray(wmax)
+    wmin_h, wmax_h = _pair_world_aabbs_np(pobj_min, pobj_max,
+                                          fwd_rows[pinst])
     pair_bvh = build_bvh_over_aabbs(
         wmin_h, wmax_h, (wmin_h + wmax_h) * 0.5, max_leaf_size=1
     )
@@ -290,7 +323,7 @@ def build_cluster_tlas(mesh_tris: list, instances: list,
     # enc leaf payload = gid of the single pair in the leaf
     gid_of_node = np.zeros(len(cnt), np.int32)
     gid_of_node[is_leaf] = pgid[order[lf[is_leaf]]]
-    node_idx, node_const, nw = _upper_node_tables(
+    node_idx, node_const, nw, stack_need = _upper_node_tables(
         host["aabb_min"], host["aabb_max"], lf, cnt,
         is_leaf, gid_of_node, tcap,
     )
@@ -316,6 +349,7 @@ def build_cluster_tlas(mesh_tris: list, instances: list,
         dummy_enc=2 * nw,
         n_inst=ni,
         num_pairs=p,
+        stack_need=stack_need,
     )
     return _regather_nodes(ct)
 
@@ -414,6 +448,7 @@ def _cast_tlas_jit(rays, ct, *, query_mask, any_hit, interpret, srows, qd):
         any_hit=any_hit, interpret=interpret, num_tiles=num_tiles,
         dummy_enc=ct.dummy_enc, srows=srows, tcap=tcap, qd=qd,
         islab=ct.islab, iinv=ct.iinv, ifwd=ct.ifwd,
+        kstack=_kstack_for(ct.stack_need),
     )
     # Gather-free outputs: the kernel already selected prim id / layers /
     # WORLD-space unnormalized normal / instance id for the winning

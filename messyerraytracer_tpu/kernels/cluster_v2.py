@@ -42,6 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..core.types import (
     INV_DIR_EPS,
+    MT_BARY_EPS,
     MT_DET_EPS,
     T_MAX_DEFAULT,
     Hits,
@@ -55,6 +56,7 @@ from .cluster import (
     LOCAL_BITS,
     MAX_ITERS,
     _BIG,
+    _kstack_for,
     _pack_rays,
     _on_tpu,
 )
@@ -81,6 +83,7 @@ def _cluster_kernel_v2(
     any_hit: bool, dummy_enc: int, srows: int, tcap: int,
     num_tiles: int, qd: int, popn: int = 1, qroom: int = 16,
     dmode: str = "bitloop", n_inst: int = 0, probe: str = "",
+    kstack: int = KSTACK,
 ):
     # refs: rays_hbm, nodes_hbm, ablk_hbm, [islab, iprim, iinv, ifwd,]
     # fout_hbm, iout_hbm, pops_out, then scratch (see _call_cluster_v2)
@@ -320,10 +323,12 @@ def _cluster_kernel_v2(
             t = tn * idet + tau
 
             bestr = sr[BEST:BEST + 1, :]
+            # -MT_BARY_EPS: watertight shared edges for the anchored
+            # formulation (see core/types.py::MT_BARY_EPS)
             valid = (
                 ok
-                & (u >= 0.0) & (u <= 1.0)
-                & (v >= 0.0) & (u + v <= 1.0)
+                & (u >= -MT_BARY_EPS) & (u <= 1.0 + MT_BARY_EPS)
+                & (v >= -MT_BARY_EPS) & (u + v <= 1.0 + MT_BARY_EPS)
                 & (t >= tminr) & (t <= tmaxr)
                 & (t < bestr)
             )
@@ -487,7 +492,7 @@ def _cluster_kernel_v2(
                 jax.lax.while_loop(lambda rm: rm != 0, seg_body, rm0)
 
         def step_fn(st):
-            (sp, qh, qt, pops, iters, done) = st
+            (sp, qh, qt, pops, iters, drops, done) = st
             iters = iters + 1
             # ---- drain up to qd prefetched clusters ---------------------
             qlen = qt - qh
@@ -626,26 +631,36 @@ def _cluster_kernel_v2(
                         def _(tgt=tgt, qt=qt):
                             _ablk_copy(tgt, qt & qmask).start()
                     qt = qt + wq.astype(jnp.int32)
-                    ws = h_j & jnp.logical_not(isleaf) & (sp < KSTACK)
-                    stack_ref[0, jnp.where(ws, sp, KSTACK)] = tgt
+                    # stack is sized from the build-time worst case
+                    # (ClusterScene.stack_need), so the kstack guard can
+                    # never fire — but if it ever does, COUNT the drop
+                    # (surfaced as RayStats.stack_drops) instead of
+                    # silently returning wrong hits (VERDICT r4 #1; the
+                    # reference loops until its stack empties,
+                    # tiny_bvh.h Intersect)
+                    wi = h_j & jnp.logical_not(isleaf)
+                    ws = wi & (sp < kstack)
+                    stack_ref[0, jnp.where(ws, sp, kstack)] = tgt
                     sp = sp + ws.astype(jnp.int32)
+                    drops = drops + (wi & jnp.logical_not(ws)).astype(
+                        jnp.int32)
             if any_hit:
                 pid_all = jnp.concatenate(
                     [si[r * SI_N + PID: r * SI_N + PID + 1, :]
                      for r in range(srows)], axis=0)
                 done = jnp.min(pid_all) >= 0
-            return (sp, qh, qt, pops, iters, done)
+            return (sp, qh, qt, pops, iters, drops, done)
 
         def cond(st):
             alive = ((st[0] > 0) | (st[2] > st[1])) & (st[4] < MAX_ITERS)
             if any_hit:
-                alive = alive & jnp.logical_not(st[5])
+                alive = alive & jnp.logical_not(st[6])
             return alive
 
         init = (jnp.int32(1), jnp.int32(0), jnp.int32(0), jnp.int32(0),
-                jnp.int32(0), jnp.bool_(False))
+                jnp.int32(0), jnp.int32(0), jnp.bool_(False))
         st = jax.lax.while_loop(cond, step_fn, init)
-        (sp, qh, qt, pops, iters, _) = st
+        (sp, qh, qt, pops, iters, drops, _) = st
 
         if any_hit:
             # early exit can abandon queued prefetches; balance their sems
@@ -689,9 +704,11 @@ def _cluster_kernel_v2(
         ibuf[pl.ds(ib + 4 * srows, srows), :] = nv_ref[...]
         pops_out[0, 0] = pops_out[0, 0] + pops
         pops_out[0, 1] = pops_out[0, 1] + iters
+        pops_out[0, 2] = pops_out[0, 2] + drops
 
     pops_out[0, 0] = jnp.int32(0)
     pops_out[0, 1] = jnp.int32(0)
+    pops_out[0, 2] = jnp.int32(0)
     jax.lax.fori_loop(0, num_tiles, group_body, jnp.int32(0))
     for g in range(max(num_tiles - 2, 0), num_tiles):
         _f_out(g, g & 1).wait()
@@ -701,7 +718,8 @@ def _cluster_kernel_v2(
 def _call_cluster_v2(rays_packed, nodes, ablocks, tile_live, *, any_hit,
                      interpret, num_tiles, dummy_enc, srows, tcap, qd,
                      popn=1, qroom=16, dmode="bitloop", probe="",
-                     islab=None, iprim=None, iinv=None, ifwd=None):
+                     islab=None, iprim=None, iinv=None, ifwd=None,
+                     kstack=KSTACK):
     from .traverse_pallas import _to_columnar
 
     nodes = _to_columnar(nodes, NODE8_STRIDE, NODE8_STRIDE)
@@ -715,6 +733,7 @@ def _call_cluster_v2(rays_packed, nodes, ablocks, tile_live, *, any_hit,
         _cluster_kernel_v2, any_hit=any_hit, dummy_enc=dummy_enc,
         srows=srows, tcap=tcap, num_tiles=num_tiles, qd=qd, popn=popn,
         qroom=qroom, dmode=dmode, probe=probe, n_inst=n_inst,
+        kstack=kstack,
     )
     hbm = pl.BlockSpec(memory_space=pl.ANY)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -731,7 +750,7 @@ def _call_cluster_v2(rays_packed, nodes, ablocks, tile_live, *, any_hit,
         out_shape=(
             jax.ShapeDtypeStruct((num_tiles * frows, 128), jnp.float32),
             jax.ShapeDtypeStruct((num_tiles * irows, 128), jnp.int32),
-            jax.ShapeDtypeStruct((1, 2), jnp.int32),
+            jax.ShapeDtypeStruct((1, 3), jnp.int32),
         ),
         scratch_shapes=[
             pltpu.VMEM((2 * rrows, 128), jnp.float32),   # ray grp (dbuf)
@@ -744,7 +763,7 @@ def _call_cluster_v2(rays_packed, nodes, ablocks, tile_live, *, any_hit,
             pltpu.VMEM((4 * (srows + 1), 128), jnp.int32),    # row state
             pltpu.VMEM((srows + 1, 128), jnp.float32),   # cap plane
             pltpu.VMEM((srows, 128), jnp.int32),         # node visits
-            pltpu.SMEM((1, KSTACK + 1), jnp.int32),
+            pltpu.SMEM((1, kstack + 1), jnp.int32),
             pltpu.SMEM((1, QCAP + 1), jnp.int32),
             pltpu.SMEM((nseg, QCAP + 1), jnp.int32),     # rowmask segs
             pltpu.VMEM(nodes.shape, jnp.float32),
@@ -858,6 +877,9 @@ def cast_rays_cluster_v2(
 
     Same contract as cast_rays_cluster; ``return_per_ray`` adds
     per-ray EXACT tri-test AND node-visit counters (stats.h:20-55)."""
+    from .cluster import _check_probe
+
+    _check_probe(probe)
     if interpret is None:
         interpret = not _on_tpu()
     hits, stats, found, tt, nv = _cast_v2_jit(
@@ -892,6 +914,7 @@ def _cast_v2_jit(rays, cs, *, query_mask, any_hit, interpret, srows, qd,
         any_hit=any_hit, interpret=interpret, num_tiles=num_tiles,
         dummy_enc=cs.dummy_enc, srows=srows, tcap=cs.tcap, qd=qd,
         popn=popn, qroom=qroom, dmode=dmode, probe=probe,
+        kstack=_kstack_for(cs.stack_need, popn),
     )
     hits, found, tt, _, nv = _hits_from_buffers_v2(
         fout, iout, rays, num_tiles, srows, n)
@@ -900,6 +923,7 @@ def _cast_v2_jit(rays, cs, *, query_mask, any_hit, interpret, srows, qd,
         tri_tests=jnp.sum(tt.astype(jnp.float32)),
         bvh_nodes_visited=jnp.sum(pops_tot[0, 0][None]),
         hits=jnp.sum(found.astype(jnp.int32)),
+        stack_drops=pops_tot[0, 2],
     )
     return hits, stats, found, tt, nv
 
@@ -955,6 +979,7 @@ def _cast_tlas_v2_jit(rays, ct, *, query_mask, any_hit, interpret, srows,
         dummy_enc=ct.dummy_enc, srows=srows, tcap=ct.tcap, qd=qd,
         popn=popn, qroom=qroom, dmode=dmode,
         islab=ct.islab, iprim=ct.iprim, iinv=ct.iinv, ifwd=ct.ifwd,
+        kstack=_kstack_for(ct.stack_need, popn),
     )
     hits, found, tt, inst, nv = _hits_from_buffers_v2(
         fout, iout, rays, num_tiles, srows, n)
@@ -963,6 +988,7 @@ def _cast_tlas_v2_jit(rays, ct, *, query_mask, any_hit, interpret, srows,
         tri_tests=jnp.sum(tt.astype(jnp.float32)),
         bvh_nodes_visited=jnp.sum(pops_tot[0, 0][None]),
         hits=jnp.sum(found.astype(jnp.int32)),
+        stack_drops=pops_tot[0, 2],
     )
     inst_id = jnp.where(found, inst, -1)
     return hits, stats, found, inst_id, tt, nv

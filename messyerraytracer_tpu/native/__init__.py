@@ -81,6 +81,29 @@ def get_native_lib():
                 ]
             except AttributeError:
                 pass  # native_build_wide8_tables hasattr-guards this
+            try:
+                lib.mrt_build_bvh_aabbs.restype = ctypes.c_int32
+                lib.mrt_build_bvh_aabbs.argtypes = [
+                    ctypes.c_int32,
+                    ctypes.c_int32,
+                    np.ctypeslib.ndpointer(np.float32,
+                                           flags="C_CONTIGUOUS"),
+                    np.ctypeslib.ndpointer(np.float32,
+                                           flags="C_CONTIGUOUS"),
+                    np.ctypeslib.ndpointer(np.float32,
+                                           flags="C_CONTIGUOUS"),
+                    np.ctypeslib.ndpointer(np.float32,
+                                           flags="C_CONTIGUOUS"),
+                    np.ctypeslib.ndpointer(np.float32,
+                                           flags="C_CONTIGUOUS"),
+                    np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+                    np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+                    np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+                    np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+                    np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+                ]
+            except AttributeError:
+                pass  # native_build_bvh_aabbs hasattr-guards this
             lib.mrt_build_bvh.restype = ctypes.c_int32
             lib.mrt_build_bvh.argtypes = [
                 ctypes.c_int32,
@@ -150,6 +173,39 @@ def native_build_wide8_tables(amin, amax, lf, cnt, t: int):
         leaf_count,
         int(nw),
         num_leaf,
+    )
+
+
+def native_build_bvh_aabbs(tri_min, tri_max, centroid, max_leaf: int):
+    """C++ binned-SAH build over arbitrary primitive AABBs/centroids
+    with a caller-chosen leaf threshold (the TLAS pair-tree path).
+
+    Returns (node_min, node_max, left_first, count, depth, axis, order,
+    num_nodes) or None if native is unavailable."""
+    lib = get_native_lib()
+    if lib is None or not hasattr(lib, "mrt_build_bvh_aabbs"):
+        return None
+    n = int(tri_min.shape[0])
+    tri_min = np.ascontiguousarray(tri_min, np.float32)
+    tri_max = np.ascontiguousarray(tri_max, np.float32)
+    centroid = np.ascontiguousarray(centroid, np.float32)
+    m = max(2 * n - 1, 1)
+    node_min = np.empty((m, 3), np.float32)
+    node_max = np.empty((m, 3), np.float32)
+    left_first = np.zeros(m, np.int32)
+    count = np.zeros(m, np.int32)
+    depth = np.zeros(m, np.int32)
+    axis = np.zeros(m, np.int32)
+    order = np.zeros(n, np.int32)
+    num = lib.mrt_build_bvh_aabbs(
+        n, int(max_leaf), tri_min, tri_max, centroid,
+        node_min, node_max, left_first, count, depth, axis, order,
+    )
+    if num <= 0:
+        return None
+    return (
+        node_min[:num], node_max[:num], left_first[:num], count[:num],
+        depth[:num], axis[:num], order, int(num),
     )
 
 

@@ -117,6 +117,8 @@ def cast_rays_sharded(
             tri_tests=jax.lax.psum(stats.tri_tests, RAY_AXIS),
             bvh_nodes_visited=jax.lax.psum(stats.bvh_nodes_visited, RAY_AXIS),
             hits=jax.lax.psum(stats.hits, RAY_AXIS),
+            stack_drops=jax.lax.psum(
+                jnp.asarray(stats.stack_drops, jnp.int32), RAY_AXIS),
         )
         return hits, stats, occ
 
@@ -132,7 +134,7 @@ def cast_rays_sharded(
                 hit_layers=P(RAY_AXIS),
             ),
             RayStats(rays_cast=P(), tri_tests=P(), bvh_nodes_visited=P(),
-                     hits=P()),
+                     hits=P(), stack_drops=P()),
             P(RAY_AXIS),
         ),
     )
@@ -302,6 +304,8 @@ def cast_rays_scene_sharded(rays: Rays, stacked, meta, id_maps, mesh: Mesh,
             bvh_nodes_visited=jax.lax.psum(stats.bvh_nodes_visited,
                                            RAY_AXIS),
             hits=jnp.sum(found.astype(jnp.int32)),
+            stack_drops=jax.lax.psum(
+                jnp.asarray(stats.stack_drops, jnp.int32), RAY_AXIS),
         )
         return hits_out, stats_out
 
@@ -315,7 +319,7 @@ def cast_rays_scene_sharded(rays: Rays, stacked, meta, id_maps, mesh: Mesh,
             Hits(t=rep, position=rep, normal=rep, u=rep, v=rep,
                  prim_id=rep, hit_layers=rep),
             RayStats(rays_cast=rep, tri_tests=rep, bvh_nodes_visited=rep,
-                     hits=rep),
+                     hits=rep, stack_drops=rep),
         ),
         check_vma=False,
     )

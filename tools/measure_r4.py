@@ -22,6 +22,9 @@ except Exception:
     pass
 
 import messyerraytracer_tpu as mrt  # noqa: F401
+
+import messyerraytracer_tpu.kernels.cluster as _mrt_cluster
+_mrt_cluster.ALLOW_PROBES = True   # timing probes corrupt hits
 from messyerraytracer_tpu.kernels.cluster import (
     build_cluster_scene, cast_rays_cluster, cluster_tcap_for,
 )

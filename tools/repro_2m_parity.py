@@ -68,7 +68,8 @@ def main():
     hb, _ = cast_rays_brute(sub, scene.tris)
     ps, pb = np.asarray(hs.prim_id), np.asarray(hb.prim_id)
     ts, tb = np.asarray(hs.t), np.asarray(hb.t)
-    bad_p = np.nonzero(ps != pb)[0]
+    tie = np.abs(ts - tb) <= 4e-6 * np.maximum(np.abs(tb), 1.0)
+    bad_p = np.nonzero((ps != pb) & ~tie)[0]
     bad_t = np.nonzero(~np.isclose(ts, tb, rtol=1e-5))[0]
     print(f"prim mismatches: {len(bad_p)}/2048, t mismatches: "
           f"{len(bad_t)}/2048", flush=True)

@@ -380,8 +380,20 @@ def _cluster_kernel_v2(
             # dead lanes keep cap = -_BIG (see the tile init note): a
             # plain min(best, tmax) would raise a dead lane's cap back
             # to -1, re-opening enclosing-box slab hits
-            return sr_new, ir_new, jnp.where(
-                tmaxr >= tminr, jnp.minimum(bnew, tmaxr), -_BIG)
+            cap_new = jnp.where(tmaxr >= tminr,
+                                jnp.minimum(bnew, tmaxr), -_BIG)
+            if any_hit:
+                # per-LANE retirement (VERDICT r4 #5): an occlusion
+                # query needs ANY hit, so a found lane's cap collapses
+                # to -_BIG — every later slab test fails for it, rows
+                # whose lanes are all found/dead drop out of the masks,
+                # and the while-loop ends when the UNOCCLUDED set runs
+                # out of nodes, not when the last ray hits (the
+                # reference's per-thread any-hit early return,
+                # bvh_traverse.comp.glsl:166-192)
+                cap_new = jnp.where(ir_new[PID:PID + 1, :] >= 0,
+                                    -_BIG, cap_new)
+            return sr_new, ir_new, cap_new
 
         def row_phase(i, ab, mrot, inst_scalars):
             """Dynamic-index wrapper around row_core: one dynamic read +

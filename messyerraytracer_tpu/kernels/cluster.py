@@ -385,17 +385,22 @@ def build_cluster_scene(bvh: BVH, tris, _np=None,
         if host is None or _np is None:
             raise ValueError("host_arrange requires a host BVH and _np")
         return _host_refresh(skeleton, amin, amax, _np, roots,
-                             slots, valid, slot_pid, slot_lay)
+                             slots, valid, slot_pid, slot_lay,
+                             node_idx, node_const)
     return refresh_cluster_scene(skeleton, bvh, tris)
 
 
 def _host_refresh(cs: ClusterScene, amin, amax, _np, roots,
-                  slots, valid, slot_pid, slot_lay) -> ClusterScene:
+                  slots, valid, slot_pid, slot_lay,
+                  node_idx, node_const) -> ClusterScene:
     """Numpy mirror of ``_refresh_cluster_jit`` for the initial build
     (same f32 operations, bit-identical slabs, zero device compiles).
 
     slots/valid are the (C, T) padded slot tables from the cluster cut;
     _np = (v0, e1, e2, normal, prim_id, layers) in BVH slot order.
+    node_idx/node_const are the HOST numpy gather tables (reading them
+    back off cs costs two device->host transfers that measured 238 s
+    EACH on the tunneled device — 696 s of the round-5 cold build).
     """
     tcap, c = cs.tcap, cs.num_clusters
     pv0, pe1, pe2, pnrm = (np.asarray(a, np.float32) for a in _np[:4])
@@ -403,9 +408,9 @@ def _host_refresh(cs: ClusterScene, amin, amax, _np, roots,
     node_src = np.concatenate(
         [amin.astype(np.float32).reshape(-1),
          amax.astype(np.float32).reshape(-1),
-         np.asarray(cs.node_const)]
+         np.asarray(node_const, np.float32)]
     )
-    nodes = node_src[np.asarray(cs.node_idx)]
+    nodes = node_src[np.asarray(node_idx)]
 
     anchors = (0.5 * (amin[roots] + amax[roots])).astype(np.float32)
     vmask = valid.reshape(c, tcap, 1)

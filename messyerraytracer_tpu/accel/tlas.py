@@ -91,6 +91,9 @@ class MeshBLAS:
 
     scene: RayScene
     tri_array: np.ndarray  # (T, 3, 3) object-space vertices (host copy)
+    layers_orig: np.ndarray | None = None  # (T,) host layers, ORIGINAL
+    #   order — kept so TLAS builds never read layers back off the
+    #   device (tunneled device->host transfers cost ~0.5 s each)
 
     @property
     def num_tris(self) -> int:
@@ -203,7 +206,9 @@ class SceneTLAS:
             # SHAPE (the round-3 83.9 s instanced cold build)
             host_arrange=True,
         )
-        self.meshes.append(MeshBLAS(scene, tri_array))
+        lay_np = (np.full(tri_array.shape[0], ALL_LAYERS, np.int32)
+                  if layers is None else np.asarray(layers, np.int32))
+        self.meshes.append(MeshBLAS(scene, tri_array, layers_orig=lay_np))
         self._two_level = None  # frontier tables embed the mesh forest
         self._ctlas = None
         return len(self.meshes) - 1
@@ -226,19 +231,28 @@ class SceneTLAS:
         """
         assert self.instances, "build_tlas: no instances"
         self._two_level = None  # rebuilt lazily against the new scene
+        # per-MESH tables hoisted out of the instance loop: the layers
+        # readback is a device->host transfer that measured ~0.5 s EACH
+        # on the tunneled device (215 instances = 112 s of a cold build
+        # before hoisting; 4 meshes after)
+        mesh_layers_orig = {}
+        for b, mesh in enumerate(self.meshes):
+            if mesh.layers_orig is not None:
+                mesh_layers_orig[b] = mesh.layers_orig
+                continue
+            ml = np.asarray(mesh.scene.tris.layers)
+            # instance layer mask ANDs with per-tri layers (we flatten in
+            # original order, so invert the BLAS build permutation first)
+            perm = _bvh_host(mesh.scene.bvh, "tri_order")
+            unperm = np.empty_like(perm)
+            unperm[perm] = np.arange(perm.shape[0], dtype=perm.dtype)
+            mesh_layers_orig[b] = ml[unperm]
         obj, inst_id, layers = [], [], []
         for i, inst in enumerate(self.instances):
             tris = self.meshes[inst.blas_id].tri_array
             obj.append(tris)
             inst_id.append(np.full(tris.shape[0], i, np.int32))
-            mesh_layers = np.asarray(self.meshes[inst.blas_id].scene.tris.layers)
-            # instance layer mask ANDs with per-tri layers (we flatten in
-            # original order, so invert the BLAS build permutation first)
-            perm = _bvh_host(self.meshes[inst.blas_id].scene.bvh,
-                             "tri_order")
-            unperm = np.empty_like(perm)
-            unperm[perm] = np.arange(perm.shape[0], dtype=perm.dtype)
-            layers.append(mesh_layers[unperm] & inst.layers)
+            layers.append(mesh_layers_orig[inst.blas_id] & inst.layers)
 
         self._obj_tris = np.concatenate(obj)
         self._tri_inst = np.concatenate(inst_id)
@@ -362,6 +376,9 @@ class SceneTLAS:
         mesh_tris = [m.tri_array for m in self.meshes]
         mesh_layers = []
         for m in self.meshes:
+            if m.layers_orig is not None:
+                mesh_layers.append(m.layers_orig)
+                continue
             perm = _bvh_host(m.scene.bvh, "tri_order")
             unperm = np.empty_like(perm)
             unperm[perm] = np.arange(perm.shape[0], dtype=perm.dtype)

@@ -264,7 +264,9 @@ def build_cluster_tlas(mesh_tris: list, instances: list,
                 f"mesh has {cs.num_clusters} clusters > {LOCAL_MASK + 1}; "
                 "use the flat path for huge meshes"
             )
-        roots = np.asarray(cs.croots)
+        # recompute the cut on host instead of reading cs.croots back
+        # off the device (~0.5 s/transfer on the tunneled device)
+        roots, _, _ = cluster_cut(host["left_first"], host["count"], tcap)
         mesh_caabb.append(
             np.concatenate([host["aabb_min"][roots],
                             host["aabb_max"][roots]], axis=1)

@@ -150,28 +150,38 @@ def sort_perm_6d(rays: Rays, lo, hi, octant_major: bool = True,
 
 
 def apply_permutation(rays: Rays, perm: jnp.ndarray) -> Rays:
-    return Rays(
-        origin=rays.origin[perm],
-        direction=rays.direction[perm],
-        t_min=rays.t_min[perm],
-        t_max=rays.t_max[perm],
-    )
+    """Permute a ray batch with ONE packed gather.
+
+    TPU-XLA gathers cost ~per-INDEX, not per-byte (PERF.md r2), so one
+    (N,8) gather is ~4x cheaper than four per-field gathers (measured
+    9.2 ms per 512K-row gather regardless of width)."""
+    packed = jnp.concatenate(
+        [rays.origin, rays.direction, rays.t_min[:, None],
+         rays.t_max[:, None]], axis=1)
+    g = packed[perm]
+    return Rays(origin=g[:, 0:3], direction=g[:, 3:6],
+                t_min=g[:, 6], t_max=g[:, 7])
 
 
 def unshuffle_hits(hits: Hits, perm: jnp.ndarray) -> Hits:
     """Invert the sort permutation on a Hits batch
-    (unshuffle_intersections, ray_sort.h:133-141)."""
+    (unshuffle_intersections, ray_sort.h:133-141).  One packed f32
+    gather + one packed i32 gather (see apply_permutation)."""
     inv = jnp.zeros_like(perm).at[perm].set(
         jnp.arange(perm.shape[0], dtype=perm.dtype)
     )
+    pf = jnp.concatenate(
+        [hits.t[:, None], hits.position, hits.normal,
+         hits.u[:, None], hits.v[:, None]], axis=1)[inv]
+    pi = jnp.stack([hits.prim_id, hits.hit_layers], axis=1)[inv]
     return Hits(
-        t=hits.t[inv],
-        position=hits.position[inv],
-        normal=hits.normal[inv],
-        u=hits.u[inv],
-        v=hits.v[inv],
-        prim_id=hits.prim_id[inv],
-        hit_layers=hits.hit_layers[inv],
+        t=pf[:, 0],
+        position=pf[:, 1:4],
+        normal=pf[:, 4:7],
+        u=pf[:, 7],
+        v=pf[:, 8],
+        prim_id=pi[:, 0],
+        hit_layers=pi[:, 1],
     )
 
 

@@ -479,26 +479,39 @@ class WavefrontPathTracer:
                     sub = _slice_rays(state.ray, B)
                     perm = sort_perm_6d(sub, *self.bounds,
                                         live=state.active[:B])
-
-                    def ap(x):
-                        return jnp.concatenate([x[:B][perm], x[B:]],
-                                               axis=0)
-
+                    # PACKED gathers: TPU-XLA gathers cost ~per-index
+                    # regardless of row width (PERF.md r5), so the ~10
+                    # per-field gathers become one f32 + one i32 gather
+                    fl = jnp.concatenate(
+                        [state.throughput, state.accum,
+                         state.pending_nee, state.ray.origin,
+                         state.ray.direction], axis=1)       # (n,15)
+                    il = jnp.stack(
+                        [pix,
+                         jax.lax.bitcast_convert_type(state.rng,
+                                                      jnp.int32),
+                         state.active.astype(jnp.int32),
+                         state.shadow_valid.astype(jnp.int32),
+                         state.visibility.astype(jnp.int32)],
+                        axis=1)                              # (n,5)
+                    flp = jnp.concatenate([fl[:B][perm], fl[B:]], axis=0)
+                    ilp = jnp.concatenate([il[:B][perm], il[B:]], axis=0)
                     return (
-                        ap(pix),
+                        ilp[:, 0],
                         WavefrontState(
-                            throughput=ap(state.throughput),
-                            accum=ap(state.accum),
-                            pending_nee=ap(state.pending_nee),
-                            rng=ap(state.rng),
-                            active=ap(state.active),
-                            ray=Rays(origin=ap(state.ray.origin),
-                                     direction=ap(state.ray.direction),
+                            throughput=flp[:, 0:3],
+                            accum=flp[:, 3:6],
+                            pending_nee=flp[:, 6:9],
+                            rng=jax.lax.bitcast_convert_type(
+                                ilp[:, 1], jnp.uint32),
+                            active=ilp[:, 2].astype(bool),
+                            ray=Rays(origin=flp[:, 9:12],
+                                     direction=flp[:, 12:15],
                                      t_min=state.ray.t_min,
                                      t_max=state.ray.t_max),
                             shadow_ray=state.shadow_ray,  # consumed
-                            shadow_valid=ap(state.shadow_valid),
-                            visibility=ap(state.visibility),
+                            shadow_valid=ilp[:, 3].astype(bool),
+                            visibility=ilp[:, 4].astype(bool),
                         ),
                     )
 

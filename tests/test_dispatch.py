@@ -177,3 +177,32 @@ class TestDispatcher:
         occ = disp.any_hit_rays(rays)
         ref = any_hit_brute(rays, scene.tris)
         np.testing.assert_array_equal(np.asarray(occ), np.asarray(ref))
+
+    def test_two_pass_proxy_parity(self, monkeypatch):
+        """Two-pass incoherent cast (proxy caps + destination re-sort +
+        rescue): results must EXACTLY match the single-pass dispatcher
+        path — caps are conservative by construction and any proxy-vs-
+        main formulation crack is rescued with an uncapped re-cast
+        (dispatch/dispatcher.py::_cast_two_pass)."""
+        from messyerraytracer_tpu.dispatch import dispatcher as dm
+
+        monkeypatch.setattr(dm, "PROXY_MIN_BATCH", 256)
+        scene = build_scene_from_tri_array(
+            np.concatenate([
+                meshes.uv_sphere(radius=1.2, rings=8, segments=14,
+                                 center=(0, 1.2, 0)),
+                meshes.plane(6.0, y=0.0, subdiv=10),
+            ]),
+            backend="cluster",
+        )
+        rays = random_rays(768, seed=4)
+        h0, s0 = RayDispatcher(scene, proxy=False).cast_rays(rays)
+        h1, s1 = RayDispatcher(scene, proxy=True).cast_rays(rays)
+        t0, t1 = np.asarray(h0.t), np.asarray(h1.t)
+        np.testing.assert_allclose(t1, t0, rtol=1e-5)
+        prim_ok = np.asarray(h0.prim_id) == np.asarray(h1.prim_id)
+        tie = np.abs(t0 - t1) <= 4e-6 * np.maximum(np.abs(t0), 1.0)
+        assert (prim_ok | tie).all()
+        assert int(s1.rays_cast) == rays.count
+        # proxy pass work is accounted for
+        assert float(s1.tri_tests) >= float(s0.tri_tests) * 0.2

@@ -23,9 +23,12 @@ from messyerraytracer_tpu.utils import meshes
 
 
 def small_scene(tcap=32):
-    g = meshes.plane(8.0, y=0.0, subdiv=14)
+    # sized for interpret mode: iterations scale with tree size, so the
+    # scene is as small as still yields a multi-cluster multi-level BVH
+    # (VERDICT r4 #7 — smaller scenes, same oracles)
+    g = meshes.plane(8.0, y=0.0, subdiv=9)
     g[:, :, 1] = np.sin(g[:, :, 0]) * 0.6
-    sph = meshes.uv_sphere(1.2, 8, 14, center=(0, 1.5, 0))
+    sph = meshes.uv_sphere(1.2, 6, 12, center=(0, 1.5, 0))
     tris = np.concatenate([g, sph])
     base = build_scene_from_tri_array(tris, backend="pallas")
     cs = build_cluster_scene(base.bvh, base.tris, tcap=tcap)
@@ -44,7 +47,7 @@ def rand_rays(n, seed=0, extent=5.0):
 class TestClusterV2:
     def test_hits_match_v1_and_brute(self):
         base, cs = small_scene()
-        rays = rand_rays(600, seed=1)
+        rays = rand_rays(384, seed=1)
         h2, s2, _, pr = cast_rays_cluster_v2(rays, cs, return_per_ray=True)
         h1, s1, _ = cast_rays_cluster(rays, cs)
         np.testing.assert_array_equal(np.asarray(h2.prim_id),
@@ -65,11 +68,11 @@ class TestClusterV2:
 
     def test_per_ray_counters(self):
         base, cs = small_scene()
-        rays = rand_rays(300, seed=2)
+        rays = rand_rays(256, seed=2)
         h2, s2, _, pr = cast_rays_cluster_v2(rays, cs, return_per_ray=True)
         tt = np.asarray(pr["tri_tests"])
         nv = np.asarray(pr["node_visits"])
-        assert tt.shape == (300,) and nv.shape == (300,)
+        assert tt.shape == (256,) and nv.shape == (256,)
         assert int(tt.sum()) == int(float(s2.tri_tests))
         # every hitting ray visited >= 1 node and tested >= 1 triangle
         hit = np.asarray(h2.prim_id) != NO_HIT
@@ -79,7 +82,7 @@ class TestClusterV2:
 
     def test_any_hit(self):
         base, cs = small_scene()
-        rays = rand_rays(300, seed=3)
+        rays = rand_rays(256, seed=3)
         _, _, occ = cast_rays_cluster_v2(rays, cs, any_hit=True)
         hb, _ = cast_rays_brute(rays, base.tris)
         np.testing.assert_array_equal(
@@ -97,7 +100,7 @@ class TestClusterV2:
         base = build_scene_from_tri_array(tris, layers=layers,
                                           backend="pallas")
         cs = build_cluster_scene(base.bvh, base.tris, tcap=32)
-        rays = rand_rays(300, seed=4, extent=4.0)
+        rays = rand_rays(256, seed=4, extent=4.0)
         for qm in (0b01, 0b10, 0b11):
             h2, _, _ = cast_rays_cluster_v2(rays, cs, query_mask=qm)
             hb, _ = cast_rays_brute(rays, base.tris, qm)
@@ -106,7 +109,7 @@ class TestClusterV2:
 
     def test_tall_tiles_srows32(self):
         base, cs = small_scene()
-        rays = rand_rays(4500, seed=5)   # > one 32x128 tile
+        rays = rand_rays(4200, seed=5)   # > one 32x128 tile
         h2, _, _ = cast_rays_cluster_v2(rays, cs, srows=32)
         h1, _, _ = cast_rays_cluster(rays, cs)
         np.testing.assert_array_equal(np.asarray(h2.prim_id),
@@ -119,7 +122,7 @@ class TestClusterV2:
             cast_rays_cluster_tlas,
         )
 
-        ms = [meshes.uv_sphere(1.0, 8, 16), meshes.box((1.0, 2.0, 1.0))]
+        ms = [meshes.uv_sphere(1.0, 6, 12), meshes.box((1.0, 2.0, 1.0))]
 
         def xform(t, s=1.0):
             m = np.zeros((3, 4), np.float32)
@@ -130,7 +133,7 @@ class TestClusterV2:
         inst = [(0, xform((0, 0, 0))), (1, xform((-3, 0, 0), 1.2)),
                 (0, xform((3, 0.5, -1), 0.5))]
         ct = build_cluster_tlas(ms, inst, tcap=32)
-        rays = rand_rays(500, seed=6)
+        rays = rand_rays(320, seed=6)
         h2, s2, _, i2 = cast_rays_cluster_tlas_v2(rays, ct)
         h1, s1, _, i1 = cast_rays_cluster_tlas(rays, ct)
         # v2 reports GLOBAL flattened prim ids (instance base added in
@@ -150,7 +153,7 @@ class TestClusterV2:
         # all drain modes execute a superset of the needed row phases;
         # hits must be identical across modes (the dense MT is exact)
         base, cs = small_scene()
-        rays = rand_rays(400, seed=7)
+        rays = rand_rays(256, seed=7)
         ref, _, _ = cast_rays_cluster_v2(rays, cs)   # bitloop default
         for dmode in ("all", "when", "gr2", "gr4"):
             h, _, _ = cast_rays_cluster_v2(rays, cs, dmode=dmode)

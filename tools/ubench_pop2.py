@@ -274,6 +274,14 @@ def _kernel(nodes_ref, rays_ref, out_ref, stack_ref, colbc_ref, *,
             for j in range(7, -1, -1)
         )
         out = acc + m_lo * 0 + order[0][0] * 0
+        if variant == "smemrd":
+            # 21 dynamic SMEM reads (the TLAS drain's per-instance
+            # transform scalars) chained into the output
+            s = jnp.int32(0)
+            li = (i * 13) & 63
+            for j in range(21):
+                s = s + stack_ref[1, (li + j) & 63]
+            out = out + s * 0
         if variant in ("base2", "stagewl"):
             # controlled push rate: only children 1 and 6 can push
             order = tuple(

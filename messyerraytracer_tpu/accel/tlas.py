@@ -183,7 +183,7 @@ class SceneTLAS:
         self.backend = backend
         self.meshes: list[MeshBLAS] = []
         self.instances: list[BLASInstance] = []
-        self.flat: RayScene | None = None
+        self._flat: RayScene | None = None
         # static flatten metadata (built once per topology)
         self._tri_inst: np.ndarray | None = None   # (F,) instance id per flat tri
         self._obj_tris: np.ndarray | None = None   # (F, 3, 3) object-space
@@ -256,14 +256,36 @@ class SceneTLAS:
 
         self._obj_tris = np.concatenate(obj)
         self._tri_inst = np.concatenate(inst_id)
-        flat_layers = np.concatenate(layers)
+        self._flat_layers = np.concatenate(layers)
+        # The flattened world-space twin is built LAZILY on first use:
+        # the reference pays a double build every rebuild (TLAS for CPU
+        # + flattened scene for GPU, raytracer_server.cpp:616-769 — the
+        # cost SURVEY.md flags as not to be replicated); here the
+        # instanced cluster-TLAS is the production path and users who
+        # never cast through ``flat`` never pay for it.
+        self._flat = None
+        self._slot_inst = None
 
+    @property
+    def flat(self) -> RayScene | None:
+        """The flattened world-space twin, built on first access (the
+        reference rebuilds it eagerly every build,
+        raytracer_server.cpp:616-769 — a double-build cost the TPU
+        design defers to flat-path users only)."""
+        if self._flat is None and self._obj_tris is not None:
+            self._ensure_flat()
+        return self._flat
+
+    def _ensure_flat(self) -> None:
+        if self._flat is not None:
+            return
+        assert self._obj_tris is not None, "call build_tlas first"
         world = self._world_tris_np()
-        self.flat = build_scene(
+        self._flat = build_scene(
             world[:, 0], world[:, 1], world[:, 2],
-            layers=flat_layers, backend=self.backend,
+            layers=self._flat_layers, backend=self.backend,
         )
-        perm = _bvh_host(self.flat.bvh, "tri_order")
+        perm = _bvh_host(self._flat.bvh, "tri_order")
         self._slot_inst = jnp.asarray(self._tri_inst[perm])
         self._obj_slots = jnp.asarray(self._obj_tris[perm])  # (F,3,3) device
         self._transforms_dev = jnp.asarray(
@@ -296,17 +318,17 @@ class SceneTLAS:
     def refit_tlas(self) -> None:
         """Re-transform flattened triangles + refit — all on device
         (scene_tlas.h:180-196 semantics; topology unchanged)."""
-        assert self.flat is not None, "refit_tlas: call build_tlas first"
+        self._ensure_flat()
         self._transforms_dev = jnp.asarray(
             np.stack([i.transform for i in self.instances])
         )
         tris, bvh, wide, cluster = _tlas_refit_jit(
-            self.flat.bvh, self.flat.wide, self.flat.cluster,
-            self.flat.tris,
+            self._flat.bvh, self._flat.wide, self._flat.cluster,
+            self._flat.tris,
             self._obj_slots, self._slot_inst, self._transforms_dev,
         )
-        self.flat = dataclasses.replace(
-            self.flat, tris=tris, bvh=bvh, wide=wide, cluster=cluster,
+        self._flat = dataclasses.replace(
+            self._flat, tris=tris, bvh=bvh, wide=wide, cluster=cluster,
             _frontier=None, _frontier_q=None,  # stale-geometry caches
         )
 
@@ -316,14 +338,14 @@ class SceneTLAS:
         (hits, stats, instance_id) where instance_id is (N,) int32, -1 on
         miss (the reference reports hits via tray.hit.inst -> instance,
         scene_tlas.h:232-247)."""
-        assert self.flat is not None, "cast_rays: call build_tlas first"
-        hits, stats = self.flat.cast_rays(rays, query_mask)
+        self._ensure_flat()
+        hits, stats = self._flat.cast_rays(rays, query_mask)
         inst = self._instance_of_hits(hits)
         return hits, stats, inst
 
     def any_hit_rays(self, rays: Rays, query_mask=ALL_LAYERS):
-        assert self.flat is not None
-        return self.flat.any_hit_rays(rays, query_mask)
+        self._ensure_flat()
+        return self._flat.any_hit_rays(rays, query_mask)
 
     def _instance_of_hits(self, hits: Hits) -> jnp.ndarray:
         # prim_id is the flat original index; map through sort: slot arrays

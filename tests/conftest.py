@@ -23,3 +23,19 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Cap process memory growth over the ~200-test suite: XLA:CPU
+    compile artifacts accumulate per module and have produced a
+    segfault in late large-kernel compiles (tall-tile cluster tests).
+    Shapes rarely cross module boundaries, so per-module clearing
+    costs little recompilation."""
+    yield
+    import jax
+
+    jax.clear_caches()
